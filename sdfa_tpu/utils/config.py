@@ -1,0 +1,184 @@
+"""Hierarchical configuration tree.
+
+TPU-native re-design of the reference config system (see
+/root/reference/saber/utils/config_dict.py:12-519): a dict subclass with
+attribute access, ``.py``/``.json`` loading, recursive ``overwrite_by`` with
+``__entirety__`` replace-whole-subtree semantics, ``{VAR}`` substitution and a
+JSON dump of the resolved tree.  Values are plain Python/numpy objects so a
+ConfigDict is always picklable and hashable-free (never traced by JAX).
+"""
+
+from __future__ import annotations
+
+import copy
+import importlib.util
+import json
+import os
+import re
+from typing import Any, Dict, Iterable, Optional
+
+import numpy as np
+
+_ENTIRETY = "__entirety__"
+
+
+class ConfigDict(dict):
+    """A dict with attribute access and guarded mutation via ``set_key``."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        merged: Dict[str, Any] = {}
+        for arg in args:
+            if arg is None:
+                continue
+            if not isinstance(arg, dict):
+                raise TypeError(f"ConfigDict positional args must be dicts, got {type(arg)}")
+            merged.update(arg)
+        merged.update(kwargs)
+        for key, val in merged.items():
+            super().__setitem__(str(key), self._wrap(val))
+
+    # -- wrapping -----------------------------------------------------------
+    @classmethod
+    def _wrap(cls, val):
+        if isinstance(val, ConfigDict):
+            return val
+        if isinstance(val, dict):
+            return ConfigDict(val)
+        if isinstance(val, (list, tuple)):
+            return type(val)(cls._wrap(v) for v in val)
+        return val
+
+    # -- attribute access ---------------------------------------------------
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as exc:  # pragma: no cover
+            raise AttributeError(name) from exc
+
+    def __setattr__(self, name, value):
+        raise AttributeError(
+            "ConfigDict is immutable via attribute set; use set_key()"
+        )
+
+    def __setitem__(self, key, value):
+        raise TypeError("ConfigDict is immutable via [] set; use set_key()")
+
+    def set_key(self, key, value):
+        """The single sanctioned mutation point (reference: config_dict.py:88-115)."""
+        super().__setitem__(str(key), self._wrap(value))
+
+    def delete_key(self, key):
+        if key in self:
+            super().__delitem__(key)
+
+    # -- queries ------------------------------------------------------------
+    def get(self, key, default=None):
+        return super().get(key, default)
+
+    def check_keys(self, *keys):
+        missing = [k for k in keys if k not in self]
+        if missing:
+            raise KeyError(f"ConfigDict missing keys: {missing}")
+        return True
+
+    def deepcopy(self) -> "ConfigDict":
+        return copy.deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        new = ConfigDict()
+        for k, v in self.items():
+            new.set_key(k, copy.deepcopy(v, memo))
+        return new
+
+    # -- merging -------------------------------------------------------------
+    def overwrite_by(self, other: dict) -> "ConfigDict":
+        """Recursive merge; a sub-dict with ``__entirety__: True`` replaces the
+        whole subtree instead of merging (reference: config_dict.py:138-162)."""
+        if other is None:
+            return self
+        for key, val in other.items():
+            if key == _ENTIRETY:
+                continue
+            if (
+                isinstance(val, dict)
+                and not val.get(_ENTIRETY, False)
+                and isinstance(self.get(key), ConfigDict)
+            ):
+                self[key].overwrite_by(val)
+            else:
+                if isinstance(val, dict):
+                    val = {k: v for k, v in val.items() if k != _ENTIRETY}
+                self.set_key(key, val)
+        return self
+
+    # -- variable substitution -------------------------------------------------
+    def replace_variable(self, name: str, value) -> "ConfigDict":
+        """Replace ``{NAME}`` markers in all string leaves
+        (reference: config_dict.py:166-199)."""
+        marker = "{" + name + "}"
+
+        def _sub(v):
+            if isinstance(v, str) and marker in v:
+                if v == marker and not isinstance(value, str):
+                    return value
+                return v.replace(marker, str(value))
+            if isinstance(v, ConfigDict):
+                for k2, v2 in list(v.items()):
+                    v.set_key(k2, _sub(v2))
+                return v
+            if isinstance(v, (list, tuple)):
+                return type(v)(_sub(x) for x in v)
+            return v
+
+        for k, v in list(self.items()):
+            self.set_key(k, _sub(v))
+        return self
+
+    # -- serialization -----------------------------------------------------------
+    def to_plain(self) -> dict:
+        def _plain(v):
+            if isinstance(v, ConfigDict):
+                return {k: _plain(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [_plain(x) for x in v]
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, (np.integer,)):
+                return int(v)
+            if isinstance(v, (np.floating,)):
+                return float(v)
+            return v
+
+        return {k: _plain(v) for k, v in self.items()}
+
+    def dump(self, path: str):
+        with open(path, "w") as fp:
+            json.dump(self.to_plain(), fp, indent=2, default=str)
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_plain(), indent=2, default=str)
+
+    # -- loading -------------------------------------------------------------------
+    @staticmethod
+    def parse_file(path: str) -> "ConfigDict":
+        """Load hparams from a ``.py`` module exposing ``hparams`` or a ``.json``
+        file (reference: config_dict.py:203-219)."""
+        path = os.path.abspath(os.path.expanduser(path))
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        ext = os.path.splitext(path)[1]
+        if ext == ".py":
+            spec = importlib.util.spec_from_file_location(
+                "_sdfa_config_" + re.sub(r"\W", "_", path), path
+            )
+            module = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(module)
+            hp = getattr(module, "hparams", None)
+            if hp is None:
+                raise ValueError(f"config module {path} does not define `hparams`")
+            return ConfigDict(hp)
+        if ext == ".json":
+            with open(path) as fp:
+                return ConfigDict(json.load(fp))
+        raise ValueError(f"unsupported config extension: {ext}")

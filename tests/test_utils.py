@@ -1,0 +1,102 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sdfa_tpu.utils import ArgumentParser, ConfigDict, stream
+
+
+class TestConfigDict:
+    def test_attribute_access_and_nesting(self):
+        cfg = ConfigDict(a=1, b=dict(c=2, d=[1, dict(e=3)]))
+        assert cfg.a == 1
+        assert cfg.b.c == 2
+        assert cfg["b"]["d"][1].e == 3
+
+    def test_immutability(self):
+        cfg = ConfigDict(a=1)
+        with pytest.raises(TypeError):
+            cfg["a"] = 2
+        with pytest.raises(AttributeError):
+            cfg.a = 2
+        cfg.set_key("a", 2)
+        assert cfg.a == 2
+
+    def test_overwrite_merge(self):
+        cfg = ConfigDict(opt=dict(name="Adam", args=dict(lr=1e-4, wd=0)))
+        cfg.overwrite_by(dict(opt=dict(args=dict(lr=1e-3))))
+        assert cfg.opt.args.lr == 1e-3
+        assert cfg.opt.args.wd == 0  # merged, not replaced
+
+    def test_overwrite_entirety(self):
+        cfg = ConfigDict(opt=dict(args=dict(lr=1e-4, wd=0)))
+        cfg.overwrite_by(dict(opt=dict(args=dict(lr=1e-3, __entirety__=True))))
+        assert cfg.opt.args.lr == 1e-3
+        assert "wd" not in cfg.opt.args
+        assert "__entirety__" not in cfg.opt.args
+
+    def test_replace_variable(self):
+        cfg = ConfigDict(path="{ROOT}/pca/scale.npy", nested=dict(p=("{ROOT}/a", 1)))
+        cfg.replace_variable("ROOT", "/data")
+        assert cfg.path == "/data/pca/scale.npy"
+        assert cfg.nested.p[0] == "/data/a"
+
+    def test_py_and_json_loading(self, tmp_path):
+        py = tmp_path / "conf.py"
+        py.write_text("hparams = dict(x=1, y=dict(z='a'))\n")
+        cfg = ConfigDict.parse_file(str(py))
+        assert cfg.x == 1 and cfg.y.z == "a"
+        js = tmp_path / "conf.json"
+        cfg.dump(str(js))
+        cfg2 = ConfigDict.parse_file(str(js))
+        assert cfg2.to_plain() == cfg.to_plain()
+
+
+class TestArgumentParser:
+    def test_mixed_args(self):
+        p = ArgumentParser(
+            "test", "act=lrelu", "n=3", "flag=true", "xs=[1,2]",
+            all_args=["name", "activation"], defaults=["linear"],
+            key_abbrs={"act": "activation"},
+        )
+        assert p[0] == "test"
+        assert p.activation == "lrelu"
+        assert p["n"] == 3
+        assert p["flag"] is True
+        assert p["xs"] == [1, 2]
+
+    def test_defaults_and_required(self):
+        with pytest.raises(ValueError):
+            ArgumentParser("k=1", all_args=["a"], defaults=[])
+        p = ArgumentParser("v", all_args=["a", "b"], defaults=[7])
+        assert p["a"] == "v" and p["b"] == 7
+
+    def test_eval_source_style(self):
+        p = ArgumentParser("clip.mp4", "speaker=m1")
+        assert p[0] == "clip.mp4"
+        assert p["speaker"] == "m1"
+
+
+class TestStream:
+    def test_seek_interp(self):
+        ts = [0.0, 10.0, 20.0]
+        seq = np.array([[0.0], [1.0], [3.0]])
+        assert stream.seek(5.0, ts, seq)[0] == pytest.approx(0.5)
+        assert stream.seek(-5.0, ts, seq)[0] == 0.0
+        assert stream.seek(25.0, ts, seq)[0] == 3.0
+
+    def test_seek_many_matches_seek(self):
+        rng = np.random.default_rng(0)
+        ts = np.sort(rng.uniform(0, 100, 50))
+        seq = rng.normal(size=(50, 4))
+        queries = rng.uniform(-10, 110, 200)
+        batch = stream.seek_many(queries, ts, seq)
+        for q, row in zip(queries, batch):
+            np.testing.assert_allclose(row, stream.seek(q, ts, seq), atol=1e-12)
+
+    def test_seek_subseq(self):
+        ts = [0.0, 10.0]
+        seq = np.array([0.0, 10.0])
+        out = stream.seek_subseq(3, 0.0, 5.0, ts, seq)
+        np.testing.assert_allclose(out, [0.0, 5.0, 10.0])
