@@ -1,0 +1,254 @@
+"""Recurrent layers: LSTM/GRU stacks, FreqLstm ("spectral gathering").
+
+Reference semantics: torch.nn.LSTM/GRU created by
+/root/reference/speech_anime/layers/rnn.py:4-21 (note bias=False default!)
+and FreqLstm /root/reference/speech_anime/layers/freq_lstm.py:5-67.
+
+TPU-first: the input projection x·Wihᵀ for the whole sequence is one large
+matmul before the scan; the scan carries only h·Whhᵀ (B,H)·(H,4H).  FreqLstm
+folds B·T into the matmul batch (the reference does the same reshape), so the
+frequency scan of 32 steps runs with a few-thousand-row batch — MXU-shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _lstm_scan(x_proj, w_hh, b, hidden_size: int, reverse: bool = False):
+    """x_proj: (B, T, 4H) precomputed input projection; returns (B, T, H).
+
+    Gate order follows torch: i, f, g, o.
+    """
+    bsz = x_proj.shape[0]
+    h0 = jnp.zeros((bsz, hidden_size), x_proj.dtype)
+    c0 = jnp.zeros((bsz, hidden_size), x_proj.dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.matmul(h, w_hh, precision=_PREC)
+        if b is not None:
+            gates = gates + b
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def _gru_scan(x_proj, w_hh, b_hh, hidden_size: int, reverse: bool = False):
+    """torch GRU gate order r, z, n; n-gate uses r·(h·Whn + bhn)."""
+    bsz = x_proj.shape[0]
+    h0 = jnp.zeros((bsz, hidden_size), x_proj.dtype)
+
+    def step(h, xt):
+        hh = jnp.matmul(h, w_hh, precision=_PREC)
+        if b_hh is not None:
+            hh = hh + b_hh
+        xr, xz, xn = jnp.split(xt, 3, axis=-1)
+        hr, hz, hn = jnp.split(hh, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h = (1.0 - z) * n + z * h
+        return h, h
+
+    xs = jnp.swapaxes(x_proj, 0, 1)
+    _, hs = jax.lax.scan(step, h0, xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+class _RNNBase(nn.Module):
+    input_size: int = 0
+    hidden_size: int = 0
+    num_layers: int = 1
+    bias: bool = False  # reference rnn.py defaults bias=False
+    batch_first: bool = True
+    dropout: float = 0.0
+    bidirectional: bool = False
+
+    n_gates = 4  # overridden
+
+    def _gate_params(self, layer: int, direction: int, in_size: int):
+        import math
+
+        n = self.n_gates * self.hidden_size
+        stdv = 1.0 / math.sqrt(self.hidden_size)
+
+        def uni(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+        sfx = f"_l{layer}" + ("_reverse" if direction else "")
+        w_ih = self.param(f"w_ih{sfx}", uni, (in_size, n))
+        w_hh = self.param(f"w_hh{sfx}", uni, (self.hidden_size, n))
+        b = None
+        if self.bias:
+            b_ih = self.param(f"b_ih{sfx}", uni, (n,))
+            b_hh = self.param(f"b_hh{sfx}", uni, (n,))
+            b = (b_ih, b_hh)
+        return w_ih, w_hh, b
+
+    def _layer_dropout(self, x, training: bool):
+        if self.dropout <= 0.0 or not training:
+            return x
+        rng = self.make_rng("dropout")
+        keep = 1.0 - self.dropout
+        mask = jax.random.bernoulli(rng, keep, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class LSTM(_RNNBase):
+    """Multi-layer (bi)LSTM over time; input (B, T, C) → (B, T, H·dirs)."""
+
+    n_gates = 4
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.batch_first, "only batch_first layout is used"
+        out = x
+        dirs = 2 if self.bidirectional else 1
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else self.hidden_size * dirs
+            outs = []
+            for direction in range(dirs):
+                w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
+                x_proj = jnp.matmul(out, w_ih, precision=_PREC)
+                bias_sum = None if b is None else (b[0] + b[1])
+                outs.append(
+                    _lstm_scan(x_proj, w_hh, bias_sum, self.hidden_size, reverse=bool(direction))
+                )
+            out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
+            if layer < self.num_layers - 1:
+                out = self._layer_dropout(out, training)
+        return out
+
+
+class GRU(_RNNBase):
+    n_gates = 3
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.batch_first
+        out = x
+        dirs = 2 if self.bidirectional else 1
+        for layer in range(self.num_layers):
+            in_size = self.input_size if layer == 0 else self.hidden_size * dirs
+            outs = []
+            for direction in range(dirs):
+                w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
+                x_proj = jnp.matmul(out, w_ih, precision=_PREC)
+                if b is not None:
+                    x_proj = x_proj + b[0]
+                outs.append(
+                    _gru_scan(x_proj, w_hh, None if b is None else b[1],
+                              self.hidden_size, reverse=bool(direction))
+                )
+            out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
+            if layer < self.num_layers - 1:
+                out = self._layer_dropout(out, training)
+        return out
+
+
+class FreqLstm(nn.Module):
+    """Bidirectional LSTM along the *frequency* axis — "spectral gathering".
+
+    Input (B, C, F, T) → per-timestep biLSTM over F, concat all F outputs
+    (mode="full") → FC to output_size → (B, C_out, 1, T)
+    (reference: freq_lstm.py:5-67).
+    """
+
+    input_size: int = 0
+    freq_length: int = 0
+    hidden_size: int = 128
+    output_size: int = 256
+    bias: bool = True
+    mode: str = "full"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        from .layers import FullyConnected
+
+        dim4 = x.ndim == 4
+        if dim4:
+            bsz, ch, fq, t = x.shape
+            # (B, C, F, T) → (B·T, F, C)
+            x = jnp.transpose(x, (0, 3, 2, 1)).reshape(bsz * t, fq, ch)
+        else:
+            bsz, ch, fq = x.shape
+            t = 1
+            x = jnp.transpose(x, (0, 2, 1))
+        assert fq == self.freq_length, f"expected {self.freq_length} freq bins, got {fq}"
+
+        lstm = LSTM(
+            input_size=self.input_size,
+            hidden_size=self.hidden_size,
+            num_layers=1,
+            bias=self.bias,
+            bidirectional=True,
+            name="lstm",
+        )
+        h = lstm(x, training=training)  # (B·T, F, 2H)
+        if self.mode == "full":
+            proj_in = self.freq_length * 2 * self.hidden_size
+            h = h.reshape(bsz * t, proj_in)
+        else:  # "last": final states of both directions
+            h = jnp.concatenate([h[:, -1, : self.hidden_size], h[:, 0, self.hidden_size :]], axis=-1)
+            proj_in = 2 * self.hidden_size
+        proj = FullyConnected(in_channels=proj_in, out_channels=self.output_size,
+                              bias=self.bias, name="proj")
+        out = proj(h, training=training).reshape(bsz, t, self.output_size)
+        out = jnp.transpose(out, (0, 2, 1))  # (B, C, T)
+        return out[:, :, None, :] if dim4 else out
+
+
+class LSTM2d(nn.Module):
+    """Alternating freq-axis/time-axis biLSTM layers with residuals
+    (reference: speech_anime/layers/lstm2d.py:4-50; unused in shipped configs)."""
+
+    input_size: int = 0
+    hidden_size: int = 0
+    num_layers: int = 2
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        # x: (B, C, F, T)
+        bsz, ch, fq, t = x.shape
+        out = x
+        size = self.input_size
+        for layer in range(self.num_layers):
+            axis_is_freq = layer % 2 == 0
+            lstm = LSTM(
+                input_size=size,
+                hidden_size=self.hidden_size,
+                num_layers=1,
+                bias=self.bias,
+                bidirectional=True,
+                name=f"lstm_{layer}",
+            )
+            if axis_is_freq:
+                seq = jnp.transpose(out, (0, 3, 2, 1)).reshape(bsz * t, fq, size)
+                h = lstm(seq, training=training)
+                h = h.reshape(bsz, t, fq, -1).transpose(0, 3, 2, 1)
+            else:
+                seq = jnp.transpose(out, (0, 2, 3, 1)).reshape(bsz * fq, t, size)
+                h = lstm(seq, training=training)
+                h = h.reshape(bsz, fq, t, -1).transpose(0, 3, 1, 2)
+            if h.shape == out.shape:
+                h = h + out
+            out = h
+            size = 2 * self.hidden_size
+        return out
