@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark: wav → vertices throughput on one chip.
+
+North star (BASELINE.md): ≥100× realtime per chip for the full pipeline —
+on-device mel+Δ+Δ² frontend → SpeechDrivenAnimation forward (all sliding
+windows of the clip in one batch) → PCA decode → batched deformation-
+transfer solve → (F, 5023, 3) vertices.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _ensure_pca(root: str):
+    """Random PCA matrices with the shipped dims (bench needs shapes, not
+    trained values)."""
+    os.makedirs(os.path.join(root, "pca"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    specs = {
+        "scale_compT.npy": (59856, 85), "scale_means.npy": (59856,),
+        "rotat_compT.npy": (29928, 180), "rotat_means.npy": (29928,),
+    }
+    for name, shape in specs.items():
+        path = os.path.join(root, "pca", name)
+        if not os.path.exists(path):
+            np.save(path, (rng.normal(0, 0.01, shape)).astype(np.float32))
+    return root
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sdfa_tpu.audio import pipeline as audio_pipeline
+    from sdfa_tpu.models import build_model
+    from sdfa_tpu.ops import solve_fn
+    from sdfa_tpu.tools import configure
+    from sdfa_tpu.viewer import frame as frame_mod
+
+    seconds = float(os.environ.get("BENCH_SECONDS", 10.0))
+    root = _ensure_pca("/tmp/bench_assets")
+    hp = configure("dgrad", dataset_root=root)
+    model = build_model(hp, load_pca=True)
+
+    # init model
+    rng = jax.random.PRNGKey(0)
+    feat0 = jnp.zeros((2, 64, 128, 3), jnp.float32)
+    spk0 = jnp.zeros((2,), jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, feat0, spk0, False)
+
+    # solver (prefactorized once per template, like set_template_mesh)
+    solver = frame_mod.set_template_mesh()
+    consts, spec = solver.consts, solver.spec
+
+    # synth test clip
+    sr = int(hp.audio.sample_rate)
+    t = np.arange(int(seconds * sr)) / sr
+    signal = (0.3 * np.sin(2 * np.pi * 150 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+              ).astype(np.float32)
+    wspec = audio_pipeline.WindowSpec(hp)
+    starts_np, ts_list = wspec.window_starts(len(signal))
+    n_windows = len(starts_np)
+
+    def pipeline_fn(variables, consts, signal, starts):
+        feats = audio_pipeline.window_features_device(signal, starts, wspec)
+        spk = jnp.zeros((feats.shape[0],), jnp.int32)
+        preds, _, _ = model.apply(variables, feats, spk, False)
+        anime = model.decode_to_anime(variables, preds)  # (W, 1, 89784)
+        dgrad = anime[:, 0].reshape(-1, spec.n_tris, 9)
+        cnst = consts.template_cnst
+        verts = solve_fn(consts, dgrad, cnst, spec=spec)
+        return verts
+
+    fn = jax.jit(pipeline_fn)
+    sig_dev = jnp.asarray(signal)
+    starts = jnp.asarray(starts_np)
+
+    # warmup / compile
+    out = fn(variables, consts, sig_dev, starts)
+    jax.block_until_ready(out)
+    assert out.shape == (n_windows, 5023, 3), out.shape
+
+    n_iter = int(os.environ.get("BENCH_ITERS", 10))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(variables, consts, sig_dev, starts)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    x_realtime = seconds / dt
+    print(json.dumps({
+        "metric": "wav_to_vertices_throughput",
+        "value": round(x_realtime, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(x_realtime / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""CLI: python -m sdfa_tpu {train,evaluate,trace,preprocess,synth}.
+
+Reference surface: /root/reference/speech_anime/__main__.py:8-49 plus the
+dataset pipeline driver (dataset_preprocess.py:11-45).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    parser = argparse.ArgumentParser("sdfa_tpu")
+    parser.add_argument("mode", choices=["train", "evaluate", "trace", "preprocess", "synth"])
+    parser.add_argument("--custom_hparams", type=str, default=None)
+    parser.add_argument("--tag", type=str, default=None)
+    parser.add_argument("--log_dir", type=str, default=None)
+    parser.add_argument("--load_from", type=str, default=None)
+    parser.add_argument("--dataset_root", type=str, default=None)
+    parser.add_argument("--eval_input", type=str, default=None)
+    parser.add_argument("--eval_spk_cond", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--traced_dump_path", type=str, default=None)
+    parser.add_argument("--overrides", type=str, default=None,
+                        help="JSON dict merged over hparams")
+    parser.add_argument("--max_steps", type=int, default=None)
+    # preprocess / synth options
+    parser.add_argument("--source_root", type=str, default=None,
+                        help="raw VOCASET download root (preprocess)")
+    parser.add_argument("--face_type", type=str, default="dgrad_3d")
+    args = parser.parse_args()
+
+    overrides = json.loads(args.overrides) if args.overrides else None
+    if args.tag:
+        overrides = dict(overrides or {})
+        overrides["tag"] = args.tag
+
+    if args.mode == "train":
+        from .api import train_model
+
+        train_model(
+            custom_hparams=args.custom_hparams,
+            log_dir=args.log_dir,
+            load_from=args.load_from,
+            dataset_root=args.dataset_root,
+            overrides=overrides,
+            max_steps=args.max_steps,
+        )
+    elif args.mode == "evaluate":
+        from .api import evaluate_model
+
+        evaluate_model(
+            custom_hparams=args.custom_hparams,
+            load_from=args.load_from,
+            eval_input=args.eval_input,
+            eval_spk_cond=args.eval_spk_cond,
+            output_dir=args.output_dir,
+            dataset_root=args.dataset_root,
+            overrides=overrides,
+        )
+    elif args.mode == "trace":
+        from .api import trace_model
+
+        trace_model(
+            custom_hparams=args.custom_hparams,
+            load_from=args.load_from,
+            traced_dump_path=args.traced_dump_path,
+            dataset_root=args.dataset_root,
+            overrides=overrides,
+        )
+    elif args.mode == "synth":
+        from .data import synthetic
+
+        root = args.dataset_root or "/tmp/synth_voca"
+        synthetic.generate(root, face_type=args.face_type)
+        print(f"synthetic dataset written to {root}")
+    elif args.mode == "preprocess":
+        from .data.vocaset import preload
+
+        preload.run_pipeline(
+            source_root=args.source_root,
+            output_root=args.dataset_root,
+            face_type=args.face_type,
+        )
+
+
+if __name__ == "__main__":
+    main()

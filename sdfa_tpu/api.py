@@ -1,0 +1,160 @@
+"""Top-level API: train / evaluate / trace.
+
+Reference: /root/reference/speech_anime/api.py:12-197.
+- train_model: configure → log dir → datasets → model → Experiment → Trainer
+- evaluate_model: configure → restore → AnimationTask.evaluate
+- trace_model: AOT-compile + serialize the forward (the torch.jit.trace
+  equivalent is jax.jit lowering/AOT; the compiled artifact is cached and a
+  msgpack of the inference variables is exported).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .data import DatasetSlidingWindow
+from .models import build_model
+from .task import AnimationTask
+from .tools import configure
+from .train import Experiment, Trainer, checkpoints as ckpt_io
+from .utils import ArgumentParser, log
+from .utils.filesystem import maybe_in_dirs
+
+
+def _resolve_log_dir(hp, log_dir: Optional[str], tag_suffix: str = ""):
+    if log_dir:
+        return log_dir
+    date = datetime.datetime.now().strftime("%Y%m%d")
+    tag = hp.get("tag", "run") + tag_suffix
+    return os.path.join("experiments", "results", f"[{date}]{tag}")
+
+
+def train_model(
+    custom_hparams: Optional[str] = None,
+    log_dir: Optional[str] = None,
+    load_from: Optional[str] = None,
+    dataset_root: Optional[str] = None,
+    overrides: Optional[dict] = None,
+    max_steps: Optional[int] = None,
+):
+    hp = configure(custom_hparams, overrides=overrides, dataset_root=dataset_root)
+    log_dir = _resolve_log_dir(hp, log_dir)
+    load_path = maybe_in_dirs(
+        load_from, possible_roots=[log_dir], possible_exts=[".ckpt"]
+    ) if load_from else None
+
+    train_set = DatasetSlidingWindow(hp, training=True)
+    valid_set = DatasetSlidingWindow(hp, training=False)
+    log.info(f"train windows: {len(train_set)}, valid windows: {len(valid_set)}")
+
+    model = build_model(hp, load_pca=True)
+    exp = Experiment(hp, model, log_dir=log_dir, training=True, load_from=load_path)
+
+    bs = int(hp.trainer.anime_loader.batch_size)
+
+    def train_loader():
+        it = train_set.batches(bs)
+        if max_steps is None:
+            yield from it
+        else:
+            for i, b in enumerate(it):
+                if i >= max_steps:
+                    break
+                yield b
+
+    class _Loader:
+        def __init__(self, fn):
+            self.fn = fn
+
+        def __iter__(self):
+            return self.fn()
+
+    trainer = Trainer(
+        exp,
+        train_loader=_Loader(train_loader),
+        valid_loader=_Loader(lambda: valid_set.batches(bs, shuffle=False)),
+    )
+    trainer.train()
+    return exp
+
+
+def evaluate_model(
+    custom_hparams: Optional[str] = None,
+    load_from: Optional[str] = None,
+    eval_input: Optional[str] = None,
+    eval_spk_cond: Optional[str] = None,
+    output_dir: Optional[str] = None,
+    dataset_root: Optional[str] = None,
+    overrides: Optional[dict] = None,
+    **eval_kwargs,
+):
+    hp = configure(custom_hparams, overrides=overrides, dataset_root=dataset_root)
+    if eval_input is not None:
+        hp.trainer.evaluate.set_key(
+            "test", [(eval_input, f"speaker={eval_spk_cond or 'm1'}")]
+        )
+
+    model = build_model(hp, load_pca=False)
+    exp = Experiment(hp, model,
+                     log_dir=output_dir or "evaluate_results/_state",
+                     training=False, load_from=load_from)
+    variables = {
+        "params": jax.device_get(exp.state.params),
+        "batch_stats": jax.device_get(exp.state.batch_stats),
+        "constants": jax.device_get(exp.state.constants),
+    }
+    task = AnimationTask(hp, model, variables)
+    sources = [ArgumentParser(*args) for args in hp.trainer.evaluate.test]
+    return task.evaluate(sources, output_dir=output_dir or "evaluate_results", **eval_kwargs)
+
+
+def trace_model(
+    custom_hparams: Optional[str] = None,
+    load_from: Optional[str] = None,
+    traced_dump_path: Optional[str] = None,
+    dataset_root: Optional[str] = None,
+    overrides: Optional[dict] = None,
+):
+    """AOT-lower and compile the inference forward; dump compiler stats and
+    the serialized inference variables (api.py:136-167 equivalent)."""
+    import flax.serialization as fser
+    import jax.numpy as jnp
+
+    hp = configure(custom_hparams, overrides=overrides, dataset_root=dataset_root)
+    model = build_model(hp, load_pca=load_from is None)
+    exp = Experiment(hp, model, log_dir="/tmp/sdfa_trace_state",
+                     training=False, load_from=load_from)
+    variables = {
+        "params": jax.device_get(exp.state.params),
+        "batch_stats": jax.device_get(exp.state.batch_stats),
+        "constants": jax.device_get(exp.state.constants),
+    }
+
+    def fwd(variables, feats, spk):
+        preds, z, _ = model.apply(variables, feats, spk, False)
+        return model.decode_to_anime(variables, preds)
+
+    frames = int(hp.audio.feature.sliding_window_frames)
+    n_mels = int(hp.audio.mel.n_mels)
+    example = (
+        variables,
+        jnp.zeros((1, frames, n_mels, 3), jnp.float32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    lowered = jax.jit(fwd).lower(*example)
+    compiled = lowered.compile()
+    out = traced_dump_path or "traced_model"
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "model.msgpack"), "wb") as fp:
+        fp.write(fser.to_bytes(variables))
+    with open(os.path.join(out, "hlo.txt"), "w") as fp:
+        fp.write(lowered.as_text())
+    with open(os.path.join(out, "compile_info.txt"), "w") as fp:
+        fp.write(str(compiled.cost_analysis()))
+    log.info(f"traced artifacts dumped to {out}")
+    return compiled

@@ -1,0 +1,130 @@
+"""Fused on-device inference frontend: wav → all sliding-window features.
+
+The reference recomputes the mel frontend per overlapping window on CPU
+(98.6% overlap; SURVEY.md §6 "Audio frontend cost").  Here the whole clip's
+windows are featurized in ONE jitted program: window gather → framing →
+DFT-matmul power spectrum → mel → dB → normalize → Δ/Δ² matmuls, batched
+over (windows × frames) — everything MXU/VPU-shaped, zero host round trips.
+
+Window geometry matches DatasetSlidingWindow.fetch_audio_features
+(/root/reference/speech_anime/datasets/sliding_window.py:320-377): one
+center-aligned, zero-padded window per 60 fps output frame,
+ts = center − ts_delta.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import ConfigDict
+from . import dsp
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class WindowSpec:
+    """Static geometry for a clip length (hashable jit key)."""
+
+    def __init__(self, hparams: ConfigDict):
+        feat_cfg = hparams.audio.feature
+        mel_cfg = dict(hparams.audio[feat_cfg.name])
+        sr = int(hparams.audio.sample_rate)
+        for key in ("win_size", "hop_size"):
+            if isinstance(mel_cfg[key], float):
+                mel_cfg[key] = int(mel_cfg[key] * sr)
+        self.sr = sr
+        self.win_size = int(mel_cfg["win_size"])
+        self.hop_size = int(mel_cfg["hop_size"])
+        self.n_mels = int(mel_cfg["n_mels"])
+        self.fmin = float(mel_cfg["fmin"])
+        self.fmax = float(mel_cfg["fmax"])
+        self.ref_db = float(mel_cfg["ref_db"])
+        self.top_db = float(mel_cfg["top_db"])
+        self.preemph = float(mel_cfg.get("preemphasis", 0.0) or 0.0)
+        self.win_fn = mel_cfg.get("win_fn", "hamm")
+        self.normalize = bool(mel_cfg.get("normalize", True))
+        self.clip = bool(mel_cfg.get("clip_normalized", True))
+        self.frames = int(feat_cfg.sliding_window_frames)
+        self.fps = float(hparams.anime.fps)
+        self.ts_delta = float(hparams.anime.feature.ts_delta)
+        self.sliding = self.hop_size * (self.frames - 1) + self.win_size
+
+    def window_starts(self, n_samples: int) -> Tuple[np.ndarray, list]:
+        """Start sample (into the original signal) + ts list per 60fps frame."""
+        starts, ts_list = [], []
+        idx = -1.0
+        while idx * self.sr / self.fps + self.sliding <= n_samples + self.sliding * 2:
+            m = math.floor(idx * self.sr / self.fps)
+            e = m + self.sliding // 2
+            s = e - self.sliding
+            ts = int(round((s + e) / 2 * 1000.0 / self.sr - self.ts_delta))
+            starts.append(s)
+            ts_list.append(ts)
+            idx += 1.0
+        return np.asarray(starts, np.int32), ts_list
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def window_features_device(
+    signal: jnp.ndarray, starts: jnp.ndarray, spec: WindowSpec
+) -> jnp.ndarray:
+    """signal (S,), starts (W,) → features (W, T, F, 3)."""
+    pad = spec.sliding
+    padded = jnp.pad(signal, (pad, pad))
+    # gather windows: (W, sliding)
+    idx = (starts + pad)[:, None] + jnp.arange(spec.sliding)[None, :]
+    wav = padded[idx]
+    if spec.preemph:
+        wav = jnp.concatenate(
+            [wav[:, :1], wav[:, 1:] - spec.preemph * wav[:, :-1]], axis=1
+        )
+    # framing: (W, T, win)
+    fidx = np.arange(spec.frames)[:, None] * spec.hop_size + np.arange(spec.win_size)[None, :]
+    frames = wav[:, fidx] * jnp.asarray(dsp.get_window(spec.win_fn, spec.win_size))
+    cos_b, sin_b = dsp.dft_bases(spec.win_size)
+    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
+    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
+    power = re * re + im * im  # (W, T, freq)
+    filt = jnp.asarray(dsp.mel_filters(spec.sr, spec.win_size, spec.n_mels,
+                                       spec.fmin, spec.fmax))
+    mel = jnp.einsum("mf,wtf->wtm", filt, power, precision=_PREC)  # (W, T, M)
+    mel = dsp.power_to_db(mel)
+    if spec.normalize:
+        mel = dsp.normalize_db(mel, spec.ref_db, spec.top_db, spec.clip)
+    # deltas along T: mel (W, T, M) → need ops along T axis
+    feat = jnp.swapaxes(mel, 1, 2)  # (W, M, T)
+    d1 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(spec.frames, 1)), precision=_PREC)
+    d2 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(spec.frames, 2)), precision=_PREC)
+    stacked = jnp.stack([feat, d1, d2], axis=-1)  # (W, M, T, 3)
+    return jnp.swapaxes(stacked, 1, 2)  # (W, T, M, 3)
+
+
+def fetch_audio_features_device(signal: np.ndarray, hparams: ConfigDict) -> Dict:
+    """Device twin of DatasetSlidingWindow.fetch_audio_features."""
+    spec = _spec_cache(hparams)
+    starts, ts_list = spec.window_starts(len(signal))
+    feats = window_features_device(jnp.asarray(signal, jnp.float32),
+                                   jnp.asarray(starts), spec)
+    energy = dsp.rms_energy(
+        jnp.pad(jnp.asarray(signal, jnp.float32), (spec.sliding, spec.sliding))[
+            (starts[:, None] + spec.sliding) + np.arange(spec.sliding)[None, :]
+        ],
+        spec.win_size, spec.hop_size,
+    )
+    return dict(tslist=ts_list, audio_feat=feats, energy=energy)
+
+
+_SPEC_CACHE: Dict[int, WindowSpec] = {}
+
+
+def _spec_cache(hparams: ConfigDict) -> WindowSpec:
+    key = id(hparams)
+    if key not in _SPEC_CACHE:
+        _SPEC_CACHE[key] = WindowSpec(hparams)
+    return _SPEC_CACHE[key]

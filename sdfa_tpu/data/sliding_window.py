@@ -1,0 +1,296 @@
+"""Sliding-window training dataset with adjacent-frame pairing.
+
+Reference: /root/reference/speech_anime/datasets/sliding_window.py:19-463.
+- window geometry: sliding_size = hop·(frames−1)+win (0.568 s); one window
+  per 1/60 s with ±sr/3 extra margin
+- item i returns windows i and i+1 of the same sentence (motion loss);
+  collate doubles the batch: first half = frame i, second half = frame i+1
+- anime target = bilinear interp of two 60 fps npy frames at
+  window-center-ts − ts_delta, lip-distance weight exp((0.002−d)·50)·2
+- train-time augmentations of SURVEY.md §2.4; the adjacent window reuses
+  identical ``random_args``.
+
+Storage layout (our .npz variant of the reference pickle blob):
+``<npy_data_path>/%06d.npy`` offset/dgrad frames, ``%06d_lips_dist.npy``,
+and ``<npy_data_path>_audio.npz`` with keys sr/start_ts/audio[/variants].
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..utils.config import ConfigDict
+from . import features_host
+from .speech_anime import SpeechAnimeDataset
+
+_SOURCE_KEYS = ("audio", "audio_denoised", "audio_8k", "audio_denoised_8k")
+
+
+class DatasetSlidingWindow(SpeechAnimeDataset):
+    def __init__(self, hparams: ConfigDict, training: bool):
+        super().__init__(hparams, training)
+        feat_cfg = hparams.audio.feature
+        self._feat_name = feat_cfg.name
+        mel_cfg = dict(hparams.audio[self._feat_name])
+        sr = int(hparams.audio.sample_rate)
+        # float seconds → samples
+        for key in ("win_size", "hop_size"):
+            if isinstance(mel_cfg[key], float):
+                mel_cfg[key] = int(mel_cfg[key] * sr)
+        self._mel_cfg = mel_cfg
+        self._sr = sr
+        self._frames = int(feat_cfg.sliding_window_frames)
+        self._sliding_size = mel_cfg["hop_size"] * (self._frames - 1) + mel_cfg["win_size"]
+        self._fps = float(hparams.anime.fps)
+        self._face_type = hparams.model.face_data_type
+        self._ts_delta = float(hparams.anime.feature.ts_delta)
+        self._time_shifting = 0.5 / self._fps
+        self._rng = np.random.default_rng(hparams.get("seed", 1234) + int(training))
+        self._audio_cache: Dict[str, dict] = {}
+
+        # window coordinates (sliding_window.py:44-61)
+        self.coordinates: List[dict] = []
+        extra = sr // 3
+        delta_samples = float(sr) / self._fps
+        for i, info in enumerate(self.info_list):
+            stt = 0 - extra
+            end = int(info["audio_samples:int"]) + extra
+            left = float(stt)
+            while left + self._sliding_size <= end:
+                s = math.ceil(left)
+                self.coordinates.append(dict(data_id=i, range=(s, s + self._sliding_size)))
+                left += delta_samples
+
+    def __len__(self):
+        return len(self.coordinates)
+
+    # ------------------------------------------------------------------
+    def _load_audio_blob(self, data_path: str) -> dict:
+        if data_path not in self._audio_cache:
+            blob = dict(np.load(data_path + "_audio.npz"))
+            self._audio_cache[data_path] = blob
+        return self._audio_cache[data_path]
+
+    def _augment_args(self) -> dict:
+        """Sample augmentation knobs (sliding_window.py:121-203)."""
+        args = dict(signal_noise=None, feat_extra=None, feat_scale=None,
+                    feat_noise=None, feat_tremolo=None, feat_dropout=None,
+                    force_preemph=None)
+        if not self.training:
+            return args
+        fc = self.hparams.audio.feature
+        rng = self._rng
+        if fc.get("random_noise"):
+            if rng.choice(["none", "white"]) == "white":
+                scale = rng.uniform(fc.random_noise / 5, fc.random_noise)
+                args["signal_noise"] = f"white@{scale}"
+        if fc.get("random_preemph"):
+            args["force_preemph"] = float(rng.uniform(0, fc.random_preemph))
+        if fc.get("random_mel_extra") is not None:
+            ex_feat, ex_time = fc.random_mel_extra
+            args["feat_extra"] = (
+                int(rng.integers(-abs(ex_feat), abs(ex_feat) + 1)),
+                int(rng.integers(-abs(ex_time), abs(ex_time) + 1)),
+            )
+        if fc.get("random_mel_scale") is not None:
+            n_mels = int(self._mel_cfg["n_mels"])
+            scale = np.sin(
+                np.linspace(0, 2 * np.pi, num=n_mels) * rng.uniform(-np.pi / 2, np.pi / 2)
+                + rng.uniform(0, np.pi)
+            ) * fc.random_mel_scale
+            args["feat_scale"] = np.exp(scale)[:, None]
+        if fc.get("random_mel_noise") is not None:
+            args["feat_noise"] = float(fc.random_mel_noise)
+        if fc.get("random_mel_dropout") is not None:
+            args["feat_dropout"] = float(rng.uniform(0, fc.random_mel_dropout))
+        if fc.get("random_mel_tremolo") is not None:
+            if rng.uniform() < 0.5:
+                args["feat_tremolo"] = float(rng.uniform(0, fc.random_mel_tremolo))
+        return args
+
+    def _features(self, signal, stt, end, sr, args, random_args=None):
+        mel_cfg = dict(self._mel_cfg)
+        if args.get("force_preemph") is not None:
+            mel_cfg["preemphasis"] = args["force_preemph"]
+        if sr != self._sr:
+            # resampled source: rescale window + feature params
+            length = int((end - stt) * sr / self._sr)
+            stt = int(stt * sr / self._sr)
+            end = stt + length
+            for key in ("win_size", "hop_size"):
+                mel_cfg[key] = int(mel_cfg[key] * sr / self._sr)
+        feat, wav, random_args = features_host.windowed_features(
+            signal=signal, signal_stt=int(stt), signal_end=int(end),
+            mel_cfg=mel_cfg, sr=sr, frames=self._frames,
+            signal_noise=args.get("signal_noise"),
+            feat_extra=args.get("feat_extra"),
+            feat_scale=args.get("feat_scale"),
+            feat_noise=args.get("feat_noise"),
+            feat_tremolo=args.get("feat_tremolo"),
+            feat_dropout=args.get("feat_dropout"),
+            random_args=random_args, rng=self._rng,
+        )
+        # (3, F, T) → (T, F, 3) — model input layout (api.py:108)
+        return np.transpose(feat, (2, 1, 0)), wav, random_args
+
+    def _anime_target(self, info, data_path, shifted_l, shifted_r):
+        """(sliding_window.py:205-240)."""
+        start_ts = float(info["start_ts:float"])
+        minfi = int(info["anime_minfi:int"])
+        maxfi = int(info["anime_maxfi:int"])
+        ts = self.sample_to_ms((shifted_l + shifted_r) / 2) - self._ts_delta + start_ts
+        pos = ts * self._fps / 1000.0
+        lower = int(math.floor(pos))
+        upper = lower + 1
+        if lower < minfi:
+            lower = upper = minfi
+        elif upper > maxfi:
+            lower = upper = maxfi
+        a = float(pos - lower) if upper != lower else 0.0
+
+        def frame(i):
+            return np.load(os.path.join(data_path, f"{i:06d}.npy"))
+
+        def lips(i):
+            return np.load(os.path.join(data_path, f"{i:06d}_lips_dist.npy"))
+
+        feat = frame(lower) * (1.0 - a) + frame(upper) * a
+        dist = lips(lower) * (1.0 - a) + lips(upper) * a
+        weight = np.exp((0.002 - dist) * 50.0) * 2.0
+        return feat.astype(np.float32), np.float32(weight)
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, i_frame: int) -> dict:
+        j_frame = i_frame + 1
+        if (
+            j_frame == len(self.coordinates)
+            or self.coordinates[i_frame]["data_id"] != self.coordinates[j_frame]["data_id"]
+        ):
+            j_frame = i_frame
+            i_frame = j_frame - 1
+        i_info = self.coordinates[i_frame]
+        j_info = self.coordinates[j_frame]
+        data_id = i_info["data_id"]
+        l0, r0 = i_info["range"]
+        l1, r1 = j_info["range"]
+
+        shift = 0
+        if self.training:
+            max_shift = int(self._time_shifting * self._sr)
+            shift = int(self._rng.integers(-max_shift, max_shift + 1))
+        l0, r0, l1, r1 = l0 + shift, r0 + shift, l1 + shift, r1 + shift
+
+        info = self.info_list[data_id]
+        spk_id = self.get_speaker_id(info["speaker:str"])
+        emo_id = self.get_emotion_id(info["emotion:str"])
+        data_path = info["npy_data_path:path"]
+        blob = self._load_audio_blob(data_path)
+        sr = int(blob["sr"])
+
+        # choose augmented source signal
+        signal = blob["audio"]
+        if self.training:
+            avail = [k for k in _SOURCE_KEYS if k in blob]
+            source = str(self._rng.choice(avail))
+            signal = blob[source]
+            if source.endswith("_8k"):
+                sr = 8000
+
+        args = self._augment_args()
+        feat0, wav0, random_args = self._features(signal, l0, r0, sr, args)
+        feat1, wav1, _ = self._features(signal, l1, r1, sr, args, random_args=random_args)
+
+        ret = dict(
+            sr=sr, speaker_id=spk_id, emotion_id=emo_id,
+            frame_id_0=i_frame, frame_id_1=j_frame,
+            audio_feat_0=feat0, audio_feat_1=feat1,
+        )
+        anime0, ret["anime_weight_0"] = self._anime_target(info, data_path, l0, r0)
+        anime1, ret["anime_weight_1"] = self._anime_target(info, data_path, l1, r1)
+        if self._face_type == "dgrad_3d":
+            anime0 = anime0.reshape(-1, 9)
+            anime1 = anime1.reshape(-1, 9)
+            ret["dgrad_3d_scale_0"] = anime0[None, :, :6]
+            ret["dgrad_3d_rotat_0"] = anime0[None, :, 6:]
+            ret["dgrad_3d_scale_1"] = anime1[None, :, :6]
+            ret["dgrad_3d_rotat_1"] = anime1[None, :, 6:]
+        elif self._face_type == "verts_off_3d":
+            ret["verts_off_3d_0"] = anime0.reshape(1, -1)
+            ret["verts_off_3d_1"] = anime1.reshape(1, -1)
+        else:
+            raise NotImplementedError(self._face_type)
+        return ret
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def collate(batch: List[dict]) -> Dict[str, np.ndarray]:
+        """Double the batch: first half = frame i, second = frame i+1
+        (sliding_window.py:286-315)."""
+        out: Dict[str, List] = {}
+        for flag in (0, 1):
+            for item in batch:
+                for key, val in item.items():
+                    if key.endswith(f"_{flag}") and key not in ("frame_id_0", "frame_id_1"):
+                        name = key[: -2]
+                        out.setdefault(name, []).append(val)
+                    elif key in ("speaker_id", "emotion_id", "sr") and flag == 0:
+                        pass
+        stacked = {k: np.stack(v) for k, v in out.items()}
+        for key in ("speaker_id", "emotion_id"):
+            vals = [item[key] for item in batch] * 2
+            stacked[key] = np.asarray(vals, np.int32)
+        return stacked
+
+    def batches(self, batch_size: int, shuffle: Optional[bool] = None,
+                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        shuffle = self.training if shuffle is None else shuffle
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[i : i + batch_size]
+            yield self.collate([self[int(j)] for j in idx])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def fetch_audio_features(cls, signal: np.ndarray, hparams: ConfigDict) -> dict:
+        """Inference windows for a whole clip (sliding_window.py:320-377):
+        one center-aligned window per 60 fps output frame, zero padded,
+        ts = center − ts_delta; returns tslist/energy/audio_feat."""
+        feat_cfg = hparams.audio.feature
+        mel_cfg = dict(hparams.audio[feat_cfg.name])
+        sr = int(hparams.audio.sample_rate)
+        for key in ("win_size", "hop_size"):
+            if isinstance(mel_cfg[key], float):
+                mel_cfg[key] = int(mel_cfg[key] * sr)
+        frames = int(feat_cfg.sliding_window_frames)
+        fps = float(hparams.anime.fps)
+        ts_delta = float(hparams.anime.feature.ts_delta)
+        sliding = mel_cfg["hop_size"] * (frames - 1) + mel_cfg["win_size"]
+
+        ts_list, feats, energy = [], [], []
+        idx = -1.0
+        while idx * sr / fps + sliding <= len(signal) + sliding * 2:
+            m = math.floor(idx * sr / fps)
+            e = m + sliding // 2
+            s = e - sliding
+            ts = int(round((s + e) / 2 * 1000.0 / sr - ts_delta))
+            wav = features_host.slice_window(signal, s, e)
+            energy.append(features_host.rms_frames(wav, mel_cfg["win_size"], mel_cfg["hop_size"]))
+            feat, _, _ = features_host.windowed_features(
+                signal=wav, signal_stt=0, signal_end=len(wav),
+                mel_cfg=mel_cfg, sr=sr, frames=frames,
+            )
+            feats.append(np.transpose(feat, (2, 1, 0)))  # (T, F, 3)
+            ts_list.append(ts)
+            idx += 1.0
+
+        return dict(
+            tslist=ts_list,
+            energy=np.asarray(energy, np.float32),
+            audio_feat=np.asarray(feats, np.float32),
+        )

@@ -1,0 +1,263 @@
+"""SpeechDrivenAnimation — the core audio→face network, as one flax module.
+
+Reference: /root/reference/speech_anime/model/model.py:18-45 (forward),
+modules/output_module.py:8-116 (two-branch dgrad output + PCA inversion),
+modules/speaker.py:5-27 (one-hot / learned condition), modules/configurable.py
+(config-driven encoder).
+
+The whole forward is a pure jitted function: (params, audio_feat (N,T,F,C),
+speaker_id (N,)) → prediction dict + attention alignments.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nn import LayerStack, freeze_specs
+from ..nn import functions as fn
+from ..utils.config import ConfigDict
+
+_PREC = jax.lax.Precision.HIGHEST
+
+FACE_TYPES = ("dgrad_3d", "blend_1d", "verts_pos_3d", "verts_off_3d",
+              "marks_pos_2d", "marks_off_2d")
+PRED_TYPES = ("pca_coeffs", "pca_normal", "face_data")
+
+
+class PcaInversion(nn.Module):
+    """y = x·compTᵀ + means (output_module.py:94-116). compT: (out, coeffs)."""
+
+    coeffs_dim: int = 0
+    output_dim: int = 0
+    trainable: bool = False
+    init_fn: Optional[Callable[[], Tuple[np.ndarray, np.ndarray]]] = None
+
+    @nn.compact
+    def __call__(self, x):
+        def comp_init(key, shape, dtype=jnp.float32):
+            del key
+            if self.init_fn is not None:
+                comp, _ = self.init_fn()
+                return jnp.asarray(comp, dtype).reshape(shape)
+            return jnp.zeros(shape, dtype)
+
+        def mean_init(key, shape, dtype=jnp.float32):
+            del key
+            if self.init_fn is not None:
+                _, means = self.init_fn()
+                return jnp.asarray(means, dtype).reshape(shape)
+            return jnp.zeros(shape, dtype)
+
+        shape_c = (self.output_dim, self.coeffs_dim)
+        shape_m = (self.output_dim,)
+        if self.trainable:
+            comp = self.param("compT", comp_init, shape_c)
+            means = self.param("means", mean_init, shape_m)
+        else:
+            comp = self.variable("constants", "compT", comp_init, None, shape_c).value
+            means = self.variable("constants", "means", mean_init, None, shape_m).value
+        return jnp.matmul(x, comp.T, precision=_PREC) + means
+
+
+class SpeakerEmbedding(nn.Module):
+    """One-hot (shipped) or learned condition vector (speaker.py:5-27)."""
+
+    num_speakers: int = 8
+    using_onehot: bool = True
+    embedding_size: int = 32
+
+    @nn.compact
+    def __call__(self, speaker_id):
+        if self.using_onehot:
+            return fn.one_hot(speaker_id, self.num_speakers)
+        emb = nn.Embed(num_embeddings=self.num_speakers, features=self.embedding_size)
+        return emb(speaker_id)
+
+    @property
+    def condition_size(self) -> int:
+        return self.num_speakers if self.using_onehot else self.embedding_size
+
+
+class SpeechDrivenAnimation(nn.Module):
+    """audio_feat → anime_feat network (model.py:18-45 + output_module.py)."""
+
+    encoder_specs: Tuple[Any, ...] = ()
+    output_specs: Tuple[Any, ...] = ()
+    output_scale_specs: Tuple[Any, ...] = ()
+    output_rotat_specs: Tuple[Any, ...] = ()
+    face_type: str = "dgrad_3d"
+    pred_type: str = "face_data"
+    using_pca: bool = True
+    pca_trainable: bool = False
+    output_dim: int = 0              # non-dgrad face types
+    output_dim_scale: int = 0        # dgrad scale branch (59856)
+    output_dim_rotat: int = 0        # dgrad rotat branch (29928)
+    pca_coeffs_scale: int = 0
+    pca_coeffs_rotat: int = 0
+    pca_coeffs: int = 0
+    weight_norm: bool = True
+    num_speakers: int = 8
+    speaker_onehot: bool = True
+    speaker_embedding_size: int = 32
+    pca_scale_init: Optional[Callable] = None
+    pca_rotat_init: Optional[Callable] = None
+    pca_init: Optional[Callable] = None
+
+    @property
+    def return_pca(self) -> bool:
+        return self.pred_type.startswith("pca")
+
+    def setup(self):
+        assert self.face_type in FACE_TYPES
+        assert self.pred_type in PRED_TYPES
+        self.audio_encoder = LayerStack(
+            specs=self.encoder_specs, weight_norm=self.weight_norm, tag="audio_encoder"
+        )
+        self.speaker_embedding = SpeakerEmbedding(
+            num_speakers=self.num_speakers,
+            using_onehot=self.speaker_onehot,
+            embedding_size=self.speaker_embedding_size,
+        )
+        self.output_trunk = LayerStack(
+            specs=self.output_specs, weight_norm=self.weight_norm, tag="output"
+        )
+        if self.face_type == "dgrad_3d":
+            self.scale_head = LayerStack(
+                specs=self.output_scale_specs, weight_norm=self.weight_norm, tag="output-scale"
+            )
+            self.rotat_head = LayerStack(
+                specs=self.output_rotat_specs, weight_norm=self.weight_norm, tag="output-rotat"
+            )
+            if self.using_pca:
+                self.scale_pca = PcaInversion(
+                    coeffs_dim=self.pca_coeffs_scale, output_dim=self.output_dim_scale,
+                    trainable=self.pca_trainable, init_fn=self.pca_scale_init,
+                )
+                self.rotat_pca = PcaInversion(
+                    coeffs_dim=self.pca_coeffs_rotat, output_dim=self.output_dim_rotat,
+                    trainable=self.pca_trainable, init_fn=self.pca_rotat_init,
+                )
+        elif self.using_pca:
+            self.pca = PcaInversion(
+                coeffs_dim=self.pca_coeffs, output_dim=self.output_dim,
+                trainable=self.pca_trainable, init_fn=self.pca_init,
+            )
+
+    def __call__(self, audio_feat, speaker_id=None, training: bool = False):
+        """Returns (pred_dict, z_audio, align_dict)."""
+        align_dict: Dict[str, jnp.ndarray] = {}
+        condition = None
+        if speaker_id is not None:
+            condition = self.speaker_embedding(speaker_id)
+
+        z_audio, aligns = self.audio_encoder(
+            audio_feat, condition=condition, training=training
+        )
+        align_dict.update(aligns)
+
+        x, aligns = self.output_trunk(z_audio, condition=condition, training=training)
+        align_dict.update(aligns)
+
+        postfix = "_pca" if self.return_pca else ""
+        preds: Dict[str, jnp.ndarray] = {}
+        if self.face_type == "dgrad_3d":
+            x_scale, a1 = self.scale_head(x, condition=condition, training=training)
+            x_rotat, a2 = self.rotat_head(x, condition=condition, training=training)
+            align_dict.update(a1)
+            align_dict.update(a2)
+            if self.using_pca and not self.return_pca:
+                n, l = x_scale.shape[0], x_scale.shape[1]
+                x_scale = self.scale_pca(x_scale).reshape(n, l, -1, 6)
+                x_rotat = self.rotat_pca(x_rotat).reshape(n, l, -1, 3)
+            preds[f"dgrad_3d_scale{postfix}"] = x_scale
+            preds[f"dgrad_3d_rotat{postfix}"] = x_rotat
+        else:
+            if self.using_pca and not self.return_pca:
+                x = self.pca(x)
+            preds[f"{self.face_type}{postfix}"] = x
+
+        return preds, z_audio, align_dict
+
+    # -- post-processing -------------------------------------------------
+    def decode_to_anime(self, variables, preds: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        """pred dict → flat anime feature (N, L, tris·9) or (N, L, V·3)
+        (model.py:225-259 data_to_anime_feat)."""
+
+        def pca_apply(name, coeffs):
+            col = "params" if self.pca_trainable else "constants"
+            sub = variables[col][name]
+            return jnp.matmul(coeffs, sub["compT"].T, precision=_PREC) + sub["means"]
+
+        if self.face_type == "dgrad_3d":
+            if self.return_pca:
+                scale = pca_apply("scale_pca", preds["dgrad_3d_scale_pca"])
+                rotat = pca_apply("rotat_pca", preds["dgrad_3d_rotat_pca"])
+            else:
+                scale, rotat = preds["dgrad_3d_scale"], preds["dgrad_3d_rotat"]
+            scale = scale.reshape(scale.shape[:2] + (-1, 6))
+            rotat = rotat.reshape(rotat.shape[:2] + (-1, 3))
+            data = jnp.concatenate([scale, rotat], axis=-1)
+            return data.reshape(data.shape[:-2] + (-1,))
+        if self.return_pca:
+            return pca_apply("pca", preds[f"{self.face_type}_pca"])
+        return preds[self.face_type]
+
+
+def _npy_loader(*paths):
+    def load():
+        arrays = [np.load(p).astype(np.float32) for p in paths]
+        return tuple(arrays)
+
+    return load
+
+
+def build_model(hparams: ConfigDict, load_pca: bool = True) -> SpeechDrivenAnimation:
+    """Construct the network from a resolved hparams tree (the shipped config
+    format, config/model/dgrad.py)."""
+    mp = hparams.model
+    out = mp.output
+    face_type = mp.face_data_type
+    spk = mp.get("speaker_embedding") or {}
+
+    def _coeffs(spec_list):
+        # last fc layer's out_channels is the PCA coefficient count
+        last = [s for s in spec_list if s[0] == "fc"][-1]
+        return int(last[2])
+
+    kwargs: Dict[str, Any] = dict(
+        encoder_specs=freeze_specs(mp.audio_encoder.layers),
+        output_specs=freeze_specs(out.layers),
+        face_type=face_type,
+        pred_type=mp.prediction_type,
+        using_pca=bool(out.get("using_pca", False)),
+        pca_trainable=bool(out.get("pca_trainable", False)),
+        weight_norm=bool(mp.get("weight_norm", False)),
+        num_speakers=int(spk.get("num_speakers", 0) or 0),
+        speaker_onehot=bool(spk.get("using_onehot", True)),
+        speaker_embedding_size=int(spk.get("embedding_size", 32) or 32),
+    )
+    if face_type == "dgrad_3d":
+        kwargs.update(
+            output_scale_specs=freeze_specs(out.layers_scale),
+            output_rotat_specs=freeze_specs(out.layers_rotat),
+            output_dim_scale=int(out.output_dim_scale),
+            output_dim_rotat=int(out.output_dim_rotat),
+            pca_coeffs_scale=_coeffs(out.layers_scale),
+            pca_coeffs_rotat=_coeffs(out.layers_rotat),
+        )
+        if kwargs["using_pca"] and load_pca:
+            kwargs["pca_scale_init"] = _npy_loader(*out.pca_scale)
+            kwargs["pca_rotat_init"] = _npy_loader(*out.pca_rotat)
+    else:
+        kwargs.update(
+            output_dim=int(out.output_dim),
+            pca_coeffs=_coeffs(out.layers),
+        )
+        if kwargs["using_pca"] and load_pca:
+            kwargs["pca_init"] = _npy_loader(*out.pca)
+    return SpeechDrivenAnimation(**kwargs)

@@ -1,0 +1,171 @@
+"""AnimationTask — inference/evaluation wrapper around the model.
+
+Reference: SaberSpeechDrivenAnimation (/root/reference/speech_anime/model/
+model.py:48-489): window-batched inference (bs=100), signal caching,
+time-shift ensembling, evaluate → video/mesh export.
+
+TPU-native: one jitted forward at a fixed window-batch shape (tail chunk
+padded, not re-traced), features computed per clip, PCA decode on device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.sliding_window import DatasetSlidingWindow
+from .models.sdfa import SpeechDrivenAnimation
+from .utils import ArgumentParser, log
+from .utils.config import ConfigDict
+from . import audio as audio_lib
+
+
+class AnimationTask:
+    def __init__(
+        self,
+        hparams: ConfigDict,
+        model: SpeechDrivenAnimation,
+        variables: Dict,
+        batch_windows: int = 100,
+    ):
+        self.hp = hparams
+        self.model = model
+        self.variables = variables
+        self.bs = int(batch_windows)
+        self._signal_cache: Tuple[Optional[bytes], Optional[dict]] = (None, None)
+
+        def fwd(variables, feats, spk):
+            preds, z, aligns = model.apply(variables, feats, spk, False)
+            anime = model.decode_to_anime(variables, preds)
+            return anime, z, aligns
+
+        self._fwd = jax.jit(fwd)
+
+    # ------------------------------------------------------------------
+    def feature_to_anime(self, feat_list: np.ndarray, speaker_id: int):
+        """(W, T, F, C) windows → (W, D) anime frames (model.py:428-489)."""
+        n = len(feat_list)
+        animes, inputs = [], []
+        zs = []
+        aligns = []
+        for i in range(0, n, self.bs):
+            chunk = feat_list[i : i + self.bs]
+            pad = self.bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            spk = jnp.full((self.bs,), speaker_id, jnp.int32)
+            anime, z, align = self._fwd(self.variables, jnp.asarray(chunk), spk)
+            anime = np.asarray(anime)[: self.bs - pad if pad else self.bs]
+            animes.append(anime[:, 0])  # squeeze T=1
+            zs.append(np.asarray(z)[: len(anime), 0])
+            if align:
+                aligns.append(np.asarray(list(align.values())[0])[: len(anime), 0])
+            inputs.append(chunk[: len(anime)])
+        others = dict(
+            inputs=np.concatenate(inputs) if inputs else None,
+            latent=np.concatenate(zs) if zs else None,
+            latent_align=np.concatenate(aligns) if aligns else None,
+            phones=None,
+            formants=None,
+        )
+        return np.concatenate(animes).astype(np.float32), others
+
+    # ------------------------------------------------------------------
+    def generate_animation(
+        self,
+        signal: np.ndarray,
+        speaker,
+        emotion=0,
+        ensembling_ms: Optional[float] = None,
+        **_,
+    ):
+        """signal (float in [-1,1], hp sample rate) → (tslist, animes, others)
+        (model.py:333-426, incl. the signal feature cache + ensembling)."""
+        signal = np.asarray(signal, np.float32).flatten()
+        assert signal.min() >= -1 and signal.max() <= 1
+        if isinstance(speaker, str):
+            speaker = dict(self.hp.dataset_anime.speakers)[speaker]
+        if ensembling_ms is None:
+            ensembling_ms = self.hp.get("ensembling_ms", 0)
+
+        cache_key = signal.tobytes()
+        if self._signal_cache[0] == cache_key:
+            features_tuple = self._signal_cache[1]
+        else:
+            features = DatasetSlidingWindow.fetch_audio_features(signal, self.hp)
+            features_tuple = (features,)
+            if ensembling_ms and ensembling_ms > 0:
+                pad = int(ensembling_ms * self.hp.audio.sample_rate) // 1000
+                prev = np.pad(signal[:-pad], (pad, 0))
+                features_tuple += (DatasetSlidingWindow.fetch_audio_features(prev, self.hp),)
+            self._signal_cache = (cache_key, features_tuple)
+
+        anime_sum, others = self.feature_to_anime(
+            features_tuple[0]["audio_feat"], speaker)
+        for extra in features_tuple[1:]:
+            anime_sum = anime_sum + self.feature_to_anime(extra["audio_feat"], speaker)[0]
+        animes = anime_sum / float(len(features_tuple))
+        return features_tuple[0]["tslist"], animes, others
+
+    # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        sources,
+        output_dir: str = "evaluate_results",
+        export_mesh_frames: bool = True,
+        save_video: bool = True,
+        grid_w: int = 512,
+        grid_h: int = 512,
+        audio_target_db: Optional[float] = None,
+        **kwargs,
+    ):
+        """Process eval sources (wav paths + "speaker=..." args)
+        (model.py:121-222)."""
+        from . import viewer
+
+        os.makedirs(output_dir, exist_ok=True)
+        sr = int(self.hp.audio.sample_rate)
+        fps = float(self.hp.anime.fps)
+        face_type = self.hp.model.face_data_type
+        if audio_target_db is None:
+            audio_target_db = self.hp.dataset_anime.get("audio_target_db", -24.5)
+
+        results = []
+        for src_args in sources:
+            if not isinstance(src_args, ArgumentParser):
+                src_args = ArgumentParser(*src_args)
+            path = src_args[0]
+            name = os.path.splitext(os.path.basename(path))[0]
+            sound_signal, _ = audio_lib.load(path, sr=44100)
+            signal = audio_lib.dsp.resample(sound_signal, 44100, sr)
+            signal = audio_lib.rms.normalize(signal, audio_target_db)
+            speaker = src_args["speaker"] or 0
+            log.info(f"infer from {name}")
+            tslist, animes, others = self.generate_animation(signal, speaker)
+
+            out_base = os.path.join(output_dir, name)
+            if export_mesh_frames:
+                viewer.export_mesh_frames(
+                    out_base, tslist, animes, face_type, fps,
+                    audio_signal=sound_signal, audio_sr=44100,
+                )
+            video_path = None
+            if save_video:
+                video_path = viewer.render_video(
+                    sources=[{
+                        "title": f"infer: {name}",
+                        face_type: animes,
+                        "tslist": tslist,
+                    }],
+                    video_fps=fps, audio_sr=44100,
+                    video_path=out_base + ".avi",
+                    grid_w=grid_w, grid_h=grid_h,
+                    audio_signal=sound_signal,
+                )
+            results.append(dict(name=name, tslist=tslist, animes=animes,
+                                video=video_path, others=others))
+        return results

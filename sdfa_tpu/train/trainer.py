@@ -1,0 +1,464 @@
+"""Experiment + Trainer: the training runtime.
+
+Reference: saber/trainer/manager/{experiment.py,trainer.py} and
+saber_model/saber_model.py.  TPU-native re-design:
+
+- the whole optimization step (forward, losses with dynamic scalers,
+  backward, Adam update, BatchNorm stat update) is ONE jitted SPMD program;
+- data parallelism = batch sharding over a jax.sharding.Mesh ``data`` axis
+  (gradients all-reduce over ICI automatically) — replacing the reference's
+  threaded DataParallel (data_parallel.py:9);
+- scheduler/scaler state is explicit (host lr computation like the
+  reference's host-side _LRScheduler; scaler EMA inside the step);
+- observability: per-epoch loss CSV (loss_info.py), JSONL metrics stream,
+  params_info.txt dump (experiment.py:44-50), resolved hparams.json.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import losses as L
+from ..models.sdfa import SpeechDrivenAnimation
+from ..parallel import mesh as mesh_lib
+from ..utils import log
+from ..utils.config import ConfigDict
+from . import checkpoints as ckpt_io
+from . import lr_schedules
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    constants: Any
+    opt_state: Any
+    scalers: Dict[str, L.ScalerState]
+    step: jnp.ndarray  # global step counter (int32)
+
+
+def _scaler_names(face_type: str):
+    if face_type == "dgrad_3d":
+        return ("dyn_p_scale", "dyn_m_scale", "dyn_p_rotat", "dyn_m_rotat", "dyn_e")
+    return ("dyn_p", "dyn_m", "dyn_e")
+
+
+def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
+    """Returns loss_fn(params, batch_stats, constants, scalers, batch, rng,
+    training) → (total, (aux))."""
+    hp_loss = hparams.loss
+    is_dgrad = model.face_type == "dgrad_3d"
+    is_face_data = model.pred_type == "face_data"
+    postfix = "_pca" if model.pred_type.startswith("pca") else ""
+    dyn = bool(hp_loss.get("dynamic_scalar", False))
+    p_scale = float(hp_loss.get("ploss_scale", 1))
+    m_scale = float(hp_loss.get("mloss_scale", 1))
+    weight_key = hp_loss.get("anime_loss_weight")
+
+    def loss_fn(params, batch_stats, constants, scalers, batch, rng, training: bool):
+        variables = {"params": params, "batch_stats": batch_stats, "constants": constants}
+        rngs = {"dropout": rng}
+        if training:
+            (preds, z_audio, aligns), mutated = model.apply(
+                variables, batch["audio_feat"], batch["speaker_id"],
+                training=True, mutable=["batch_stats"], rngs=rngs,
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            preds, z_audio, aligns = model.apply(
+                variables, batch["audio_feat"], batch["speaker_id"],
+                training=False, rngs=rngs,
+            )
+            new_stats = batch_stats
+
+        bsz = batch["audio_feat"].shape[0]
+        weights = batch.get(weight_key) if weight_key else None
+        if weights is None:
+            weights = jnp.ones((bsz,), jnp.float32)
+
+        scalars: Dict[str, jnp.ndarray] = {}
+        loss_terms: Dict[str, jnp.ndarray] = {}
+        new_scalers = dict(scalers)
+        kw = dict(is_dgrad=is_dgrad, is_face_data=is_face_data)
+
+        if is_dgrad:
+            pred_s = preds[f"dgrad_3d_scale{postfix}"]
+            pred_r = preds[f"dgrad_3d_rotat{postfix}"]
+            true_s = batch[f"dgrad_3d_scale{postfix}"]
+            true_r = batch[f"dgrad_3d_rotat{postfix}"]
+            ps = L.ploss(pred_s, true_s, weights, **kw)
+            ms = L.mloss(pred_s, true_s, weights, **kw)
+            pr = L.ploss(pred_r, true_r, weights, **kw)
+            mr = L.mloss(pred_r, true_r, weights, **kw)
+            scalars.update(scalar_ps=ps, scalar_ms=ms, scalar_pr=pr, scalar_mr=mr,
+                           scalar_ploss=ps + pr, scalar_mloss=ms + mr)
+            if dyn:
+                terms = [("dyn_ps", ps, "dyn_p_scale", p_scale),
+                         ("dyn_ms", ms, "dyn_m_scale", m_scale),
+                         ("dyn_pr", pr, "dyn_p_rotat", p_scale),
+                         ("dyn_mr", mr, "dyn_m_rotat", m_scale)]
+                for key, val, sname, scl in terms:
+                    scaled, new_scalers[sname] = L.dynamic_scale(
+                        val, scalers[sname], training)
+                    loss_terms[key] = scaled * scl
+            else:
+                loss_terms.update(loss_ps=ps * p_scale, loss_ms=ms * m_scale,
+                                  loss_pr=pr * p_scale, loss_mr=mr * m_scale)
+        else:
+            pred = preds[f"{model.face_type}{postfix}"]
+            true = batch[f"{model.face_type}{postfix}"]
+            pl = L.ploss(pred, true, weights, **kw)
+            ml = L.mloss(pred, true, weights, **kw)
+            scalars.update(scalar_ploss=pl, scalar_mloss=ml)
+            if dyn:
+                scaled_p, new_scalers["dyn_p"] = L.dynamic_scale(pl, scalers["dyn_p"], training)
+                scaled_m, new_scalers["dyn_m"] = L.dynamic_scale(ml, scalers["dyn_m"], training)
+                loss_terms.update(dyn_ploss=scaled_p * p_scale, dyn_mloss=scaled_m * m_scale)
+            else:
+                loss_terms.update(loss_ploss=pl * p_scale, loss_mloss=ml * m_scale)
+
+        total = sum(loss_terms.values())
+        scalars["total"] = total
+        aux = dict(new_stats=new_stats, new_scalers=new_scalers,
+                   scalars=scalars, loss_terms=loss_terms)
+        return total, aux
+
+    return loss_fn
+
+
+def make_optimizer(hparams: ConfigDict):
+    """Adam (optionally AdamW) with runtime lr/beta1 injection."""
+    opt = hparams.optim
+    args = dict(opt.get("args") or {})
+    base_lr = float(args.get("lr", 1e-3))
+    wd = float(args.get("weight_decay", 0) or 0)
+    sched = opt.get("lr_scheduler") or None
+    lr_fn, beta1_fn, mode = lr_schedules.build(
+        sched.get("name") if sched else None,
+        base_lr,
+        sched.get("args") if sched else None,
+    )
+    name = opt.get("name", "Adam")
+    assert name in ("Adam", "AdamW"), f"optimizer '{name}' not supported yet"
+    if wd > 0 or name == "AdamW":
+        tx = optax.inject_hyperparams(optax.adamw)(learning_rate=base_lr, b1=0.9, weight_decay=wd)
+    else:
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=base_lr, b1=0.9)
+    return tx, lr_fn, beta1_fn, mode, base_lr
+
+
+def make_train_step(model, hparams, tx, donate: bool = True):
+    loss_fn = make_loss_fn(model, hparams)
+
+    def train_step(state: TrainState, batch, rng, lr, beta1):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(
+            state.params, state.batch_stats, state.constants,
+            state.scalers, batch, rng, True,
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        if "b1" in opt_state.hyperparams:
+            opt_state.hyperparams["b1"] = beta1
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # total grad norm (reference GradInformation, grads.py:8-29)
+        grad_norm = optax.global_norm(grads)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=aux["new_stats"],
+            opt_state=new_opt_state,
+            scalers=aux["new_scalers"],
+            step=state.step + 1,
+        )
+        metrics = {**aux["scalars"], **aux["loss_terms"], "grad_norm": grad_norm, "lr": lr}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, hparams):
+    loss_fn = make_loss_fn(model, hparams)
+
+    def eval_step(state: TrainState, batch, rng):
+        _, aux = loss_fn(
+            state.params, state.batch_stats, state.constants,
+            state.scalers, batch, rng, False,
+        )
+        return {**aux["scalars"], **aux["loss_terms"]}
+
+    return jax.jit(eval_step)
+
+
+class Experiment:
+    """Composition root (reference experiment.py:17): dirs, state, ckpts,
+    metric writers."""
+
+    def __init__(
+        self,
+        hparams: ConfigDict,
+        model: SpeechDrivenAnimation,
+        log_dir: str,
+        training: bool = True,
+        load_from: Optional[str] = None,
+        seed: int = 1234,
+    ):
+        self.hp = hparams
+        self.model = model
+        self.log_dir = log_dir
+        self.training = training
+        os.makedirs(log_dir, exist_ok=True)
+        os.makedirs(os.path.join(log_dir, "train_log", "loss"), exist_ok=True)
+        hparams.dump(os.path.join(log_dir, "hparams.json"))
+
+        self.mesh = mesh_lib.make_mesh()
+        self.n_devices = len(self.mesh.devices.reshape(-1))
+
+        # init model state
+        rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng, drop_rng = jax.random.split(rng, 3)
+        feat_shape = self._example_feat_shape()
+        feat = jnp.zeros(feat_shape, jnp.float32)
+        spk = jnp.zeros((feat_shape[0],), jnp.int32)
+        variables = model.init(
+            {"params": init_rng, "dropout": drop_rng}, feat, spk, False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        constants = variables.get("constants", {})
+
+        self.tx, self.lr_fn, self.beta1_fn, self.sched_mode, self.base_lr = (
+            make_optimizer(hparams)
+        )
+        opt_state = self.tx.init(params)
+        scalers = {name: L.ScalerState.init() for name in _scaler_names(model.face_type)}
+        self.state = TrainState(
+            params=params, batch_stats=batch_stats, constants=constants,
+            opt_state=opt_state, scalers=scalers, step=jnp.zeros((), jnp.int32),
+        )
+        self.epoch = 0
+
+        self._dump_params_info()
+        if load_from:
+            self.load(load_from)
+
+        # replicate state across the mesh
+        self.state = mesh_lib.replicate(self.mesh, self.state)
+
+        self.train_step_fn = make_train_step(model, hparams, self.tx)
+        self.eval_step_fn = make_eval_step(model, hparams)
+        self._metrics_fp = open(os.path.join(log_dir, "train_log", "metrics.jsonl"), "a")
+
+    def _example_feat_shape(self):
+        frames = int(self.hp.audio.feature.get("sliding_window_frames", 64))
+        n_mels = int(self.hp.audio.get("mel", {}).get("n_mels", 128))
+        channels = 3 if self.hp.audio.feature.get("with_delta", True) else 1
+        return (2, frames, n_mels, channels)
+
+    def _dump_params_info(self):
+        lines = []
+        total = 0
+        flat = flax.traverse_util.flatten_dict(self.state.params)
+        for path, value in sorted(flat.items()):
+            n = int(np.prod(value.shape))
+            total += n
+            lines.append(f"{'/'.join(path)}  {tuple(value.shape)}  {n}")
+        lines.append(f"TOTAL: {total}")
+        with open(os.path.join(self.log_dir, "params_info.txt"), "w") as fp:
+            fp.write("\n".join(lines) + "\n")
+        log.info(f"model parameters: {total:,}")
+
+    # -- metric IO ---------------------------------------------------------
+    def write_metrics(self, tag: str, metrics: Dict[str, float], step: int):
+        rec = {"tag": tag, "step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._metrics_fp.write(json.dumps(rec) + "\n")
+        self._metrics_fp.flush()
+
+    def write_loss_csv(self, history):
+        """Rewrite epoch-loss.csv each epoch (reference loss_info.py:4-41)."""
+        path = os.path.join(self.log_dir, "train_log", "loss", "epoch-loss.csv")
+        if not history:
+            return
+        keys = sorted({k for row in history for k in row if k != "epoch"})
+        with open(path, "w", newline="") as fp:
+            writer = csv.writer(fp)
+            writer.writerow(["epoch"] + keys)
+            for row in history:
+                writer.writerow([row.get("epoch")] + [row.get(k, "") for k in keys])
+
+    # -- checkpoint IO -------------------------------------------------------
+    def _payload(self):
+        state = jax.device_get(self.state)
+        return dict(
+            epoch=self.epoch,
+            global_step=int(state.step),
+            params=state.params,
+            batch_stats=state.batch_stats,
+            constants=state.constants,
+            opt_state=state.opt_state,
+            scalers={k: tuple(np.asarray(x) for x in v) for k, v in state.scalers.items()},
+        )
+
+    def save(self, max_nb: int = 10):
+        return ckpt_io.save_checkpoint(
+            self.log_dir, self._payload(), self.epoch, int(jax.device_get(self.state.step)),
+            max_nb=max_nb,
+        )
+
+    def save_best(self, metric_name: str, value: float):
+        return ckpt_io.save_best(
+            self.log_dir, self._payload(), metric_name, value,
+            self.epoch, int(jax.device_get(self.state.step)),
+        )
+
+    def load(self, path: str):
+        template = self._payload()
+        payload = ckpt_io.load_checkpoint(path, template)
+        self.epoch = int(payload["epoch"])
+        scalers = {
+            k: L.ScalerState(vt=jnp.asarray(v[0]), beta_t=jnp.asarray(v[1]))
+            for k, v in payload["scalers"].items()
+        }
+        self.state = TrainState(
+            params=payload["params"],
+            batch_stats=payload["batch_stats"],
+            constants=payload["constants"],
+            opt_state=payload["opt_state"],
+            scalers=scalers,
+            step=jnp.asarray(payload["global_step"], jnp.int32),
+        )
+        log.info(f"restored checkpoint from {path} (epoch {self.epoch})")
+
+    # -- lr --------------------------------------------------------------------
+    def current_lr(self) -> Tuple[float, float]:
+        it = self.epoch if self.sched_mode == "epoch" else int(jax.device_get(self.state.step))
+        lr = float(self.lr_fn(jnp.asarray(it)))
+        b1 = float(self.beta1_fn(jnp.asarray(it))) if self.beta1_fn else 0.9
+        return lr, b1
+
+
+class Trainer:
+    """Epoch/step loop with hook registry (reference trainer.py:10-548)."""
+
+    _hooks: Dict[str, list] = {k: [] for k in (
+        "prev_train", "post_train", "prev_valid", "post_valid",
+        "prev_epoch", "post_epoch")}
+
+    @classmethod
+    def register_hook(cls, point: str):
+        assert point in cls._hooks, f"unknown hook point: {point}"
+
+        def deco(fn):
+            cls._hooks[point].append(fn)
+            return fn
+
+        return deco
+
+    def __init__(self, experiment: Experiment, train_loader, valid_loader=None):
+        self.exp = experiment
+        self.train_loader = train_loader
+        self.valid_loader = valid_loader
+        hp_tr = experiment.hp.trainer
+        self.max_epochs = int(hp_tr.get("max_epochs", 100))
+        self.save_gap_epochs = hp_tr.get("save_gap_epochs")
+        self.valid_gap_epochs = int(hp_tr.get("valid_gap_epochs", 0) or 0) or 1
+        self.metric_name = hp_tr.get("reference_metric", "ploss")
+        self.metric_larger = bool(hp_tr.get("reference_metric_larger", False))
+        self.best_metric = None
+        self.grad_clip = hp_tr.get("grad_clip")
+
+    def _run_hooks(self, point: str, **kwargs):
+        for fn in self._hooks[point]:
+            fn(self.exp, **kwargs)
+
+    def train(self):
+        exp = self.exp
+        log.info(f"training on {exp.n_devices} device(s), mesh={exp.mesh}")
+        while exp.epoch < self.max_epochs:
+            self._run_hooks("prev_epoch", epoch=exp.epoch)
+            t0 = time.time()
+            train_metrics = self._train_epoch()
+            epoch_row = {"epoch": exp.epoch, **{f"train_{k}": v for k, v in train_metrics.items()}}
+            if self.valid_loader is not None and (exp.epoch + 1) % self.valid_gap_epochs == 0:
+                valid_metrics = self._validate()
+                epoch_row.update({f"valid_{k}": v for k, v in valid_metrics.items()})
+                metric = valid_metrics.get("scalar_" + self.metric_name,
+                                           valid_metrics.get(self.metric_name))
+                if metric is not None and self._is_better(metric):
+                    self.best_metric = metric
+                    exp.save_best(self.metric_name, metric)
+            if not hasattr(self, "_history"):
+                self._history = []
+            self._history.append(epoch_row)
+            exp.write_loss_csv(self._history)
+            exp.epoch += 1
+            if self.save_gap_epochs and exp.epoch % int(self.save_gap_epochs) == 0:
+                exp.save()
+            self._run_hooks("post_epoch", epoch=exp.epoch)
+            log.info(
+                f"epoch {exp.epoch}/{self.max_epochs} done in {time.time()-t0:.1f}s "
+                f"train_ploss={train_metrics.get('scalar_ploss', float('nan')):.5f}"
+            )
+        exp.save()
+
+    def _is_better(self, value: float) -> bool:
+        if self.best_metric is None:
+            return True
+        return value > self.best_metric if self.metric_larger else value < self.best_metric
+
+    def _train_epoch(self) -> Dict[str, float]:
+        exp = self.exp
+        device_metrics = []  # stays on device; fetched once at epoch end
+        count = 0
+        self._run_hooks("prev_train", epoch=exp.epoch)
+        for batch in self.train_loader:
+            lr, b1 = exp.current_lr()
+            exp.rng, step_rng = jax.random.split(exp.rng)
+            batch = mesh_lib.shard_batch(exp.mesh, batch)
+            exp.state, metrics = exp.train_step_fn(
+                exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
+            )
+            device_metrics.append(metrics)
+            count += 1
+            if count % 50 == 0:
+                vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                exp.write_metrics("train", vals, int(jax.device_get(exp.state.step)))
+        self._run_hooks("post_train", epoch=exp.epoch)
+        if not device_metrics:
+            return {}
+        host = jax.device_get(device_metrics)
+        agg: Dict[str, float] = {}
+        for m in host:
+            for k, v in m.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / len(host) for k, v in agg.items()}
+
+    def _validate(self) -> Dict[str, float]:
+        exp = self.exp
+        agg: Dict[str, float] = {}
+        count = 0
+        self._run_hooks("prev_valid", epoch=exp.epoch)
+        for batch in self.valid_loader:
+            exp.rng, step_rng = jax.random.split(exp.rng)
+            batch = mesh_lib.shard_batch(exp.mesh, batch)
+            metrics = exp.eval_step_fn(exp.state, batch, step_rng)
+            vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            for k, v in vals.items():
+                agg[k] = agg.get(k, 0.0) + v
+            count += 1
+        self._run_hooks("post_valid", epoch=exp.epoch)
+        out = {k: v / max(count, 1) for k, v in agg.items()}
+        exp.write_metrics("valid", out, int(jax.device_get(exp.state.step)))
+        return out

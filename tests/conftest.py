@@ -3,9 +3,19 @@ import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (SURVEY.md §4: fake-backend strategy).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this image pins jax_platforms to "axon,cpu" at import, so the env
+# var alone is NOT enough — we must override the config explicitly.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

@@ -1,0 +1,102 @@
+"""Data pipeline tests: csv, synthetic dataset, sliding window geometry."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sdfa_tpu.data import DatasetSlidingWindow, csvio, synthetic
+from sdfa_tpu.tools import configure
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth") / "voca")
+    synthetic.generate(root, "dgrad_3d", speakers=["m0", "f0"],
+                       sentences_per_speaker=1, seconds_per_sentence=1.0,
+                       pca_dims=(8, 8))
+    return root
+
+
+@pytest.fixture(scope="module")
+def hp(synth_root):
+    hp = configure("dgrad", dataset_root=synth_root)
+    return hp
+
+
+class TestCsv:
+    def test_roundtrip_with_path_rerooting(self, tmp_path):
+        rows = [{
+            "npy_data_path:path": str(tmp_path / "data" / "x"),
+            "speaker:str": "m0",
+            "n:int": 3,
+            "ts:float": 1.5,
+        }]
+        p = tmp_path / "m.csv"
+        csvio.write_csv(str(p), rows)
+        back = csvio.read_csv(str(p))
+        assert back[0]["npy_data_path:path"] == str(tmp_path / "data" / "x")
+        assert back[0]["n:int"] == 3 and back[0]["ts:float"] == 1.5
+
+
+class TestSlidingWindow:
+    def test_window_geometry(self, hp, synth_root):
+        ds = DatasetSlidingWindow(hp, training=False)
+        # sliding = 64·63 + 512 = 4544 samples = 0.568 s (SURVEY.md §2.5)
+        assert ds._sliding_size == 4544
+        s, e = ds.coordinates[0]["range"]
+        assert e - s == 4544
+
+    def test_item_shapes_and_pairing(self, hp):
+        ds = DatasetSlidingWindow(hp, training=False)
+        item = ds[0]
+        assert item["audio_feat_0"].shape == (64, 128, 3)
+        assert item["dgrad_3d_scale_0"].shape == (1, 9976, 6)
+        assert item["frame_id_1"] == item["frame_id_0"] + 1
+
+    def test_collate_doubles_batch(self, hp):
+        ds = DatasetSlidingWindow(hp, training=False)
+        batch = ds.collate([ds[0], ds[1], ds[2]])
+        assert batch["audio_feat"].shape == (6, 64, 128, 3)
+        assert batch["speaker_id"].shape == (6,)
+        # first half = frame i, second half = frame i+1 of the SAME items
+        np.testing.assert_allclose(batch["audio_feat"][0], ds[0]["audio_feat_0"], atol=1e-6)
+
+    def test_training_augmentation_changes_features(self, hp):
+        ds = DatasetSlidingWindow(hp, training=True)
+        a = ds[0]["audio_feat_0"]
+        b = ds[0]["audio_feat_0"]
+        assert not np.allclose(a, b)  # random augmentation applied
+
+    def test_eval_features_deterministic(self, hp):
+        ds = DatasetSlidingWindow(hp, training=False)
+        a = ds[0]["audio_feat_0"]
+        b = ds[0]["audio_feat_0"]
+        np.testing.assert_allclose(a, b, atol=0)
+
+    def test_fetch_audio_features(self, hp):
+        sig = np.zeros(8000, np.float32)
+        out = DatasetSlidingWindow.fetch_audio_features(sig, hp)
+        # ~60 windows per second + lead-in/out margin
+        assert 55 <= len(out["tslist"]) <= 130
+        assert out["audio_feat"].shape[1:] == (64, 128, 3)
+        # ts spacing is exactly one frame (1000/60 ms)
+        diffs = np.diff(out["tslist"])
+        assert set(diffs.tolist()) <= {16, 17}
+
+
+class TestDevicePipelineParity:
+    def test_device_features_match_host(self, hp):
+        from sdfa_tpu.audio import pipeline as ap
+
+        rng = np.random.default_rng(0)
+        sig = (0.2 * rng.normal(size=6000)).clip(-1, 1).astype(np.float32)
+        host = DatasetSlidingWindow.fetch_audio_features(sig, hp)
+        dev = ap.fetch_audio_features_device(sig, hp)
+        assert host["tslist"] == dev["tslist"]
+        a = np.asarray(dev["audio_feat"])
+        b = host["audio_feat"]
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3)
+        # the mel channel (not deltas) should be extremely close
+        np.testing.assert_allclose(a[..., 0], b[..., 0], atol=2e-4)
