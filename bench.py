@@ -74,26 +74,29 @@ def main():
         spk = jnp.zeros((feats.shape[0],), jnp.int32)
         preds, _, _ = model.apply(variables, feats, spk, False)
         anime = model.decode_to_anime(variables, preds)  # (W, 1, 89784)
-        dgrad = anime[:, 0].reshape(-1, spec.n_tris, 9)
+        dgrad = anime[:, 0]  # flat (W, tris*9) — layout-safe
         cnst = consts.template_cnst
-        verts = solve_fn(consts, dgrad, cnst, spec=spec)
-        return verts
+        verts = solve_fn(consts, dgrad, cnst, spec=spec, out_layout="3v")
+        return verts  # (W, 3, V)
 
     fn = jax.jit(pipeline_fn)
     sig_dev = jnp.asarray(signal)
     starts = jnp.asarray(starts_np)
 
-    # warmup / compile
+    # warmup / compile (device_get forces real completion — block_until_ready
+    # is unreliable over remote-tunnel runtimes)
     out = fn(variables, consts, sig_dev, starts)
-    jax.block_until_ready(out)
-    assert out.shape == (n_windows, 5023, 3), out.shape
+    _ = np.asarray(out[:1, :, :8])
+    assert out.shape == (n_windows, 3, 5023), out.shape
 
     n_iter = int(os.environ.get("BENCH_ITERS", 10))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(n_iter):
+        t0 = time.perf_counter()
         out = fn(variables, consts, sig_dev, starts)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+        _ = np.asarray(out[:1, :, :8])  # force completion
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]  # median, per-call blocked
 
     x_realtime = seconds / dt
     print(json.dumps({

@@ -271,6 +271,76 @@ def add_deltas(feat: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# inverse spectrograms (Griffin-Lim; reference spectrogram.py:46-62,106-131)
+# ---------------------------------------------------------------------------
+def _istft(spec: np.ndarray, win_size: int, hop_size: int, win_fn: str) -> np.ndarray:
+    """Overlap-add inverse of the centered STFT (host-side numpy)."""
+    window = get_window(win_fn, win_size).astype(np.float64)
+    n_frames = spec.shape[1]
+    out = np.zeros(win_size + hop_size * (n_frames - 1))
+    wsum = np.zeros_like(out)
+    frames = np.fft.irfft(spec, n=win_size, axis=0).T  # (frames, win)
+    for i in range(n_frames):
+        out[i * hop_size : i * hop_size + win_size] += frames[i] * window
+        wsum[i * hop_size : i * hop_size + win_size] += window**2
+    nz = wsum > 1e-10
+    out[nz] /= wsum[nz]
+    return out[win_size // 2 : -(win_size // 2)]
+
+
+def griffin_lim(
+    magnitude: np.ndarray,
+    win_size: int,
+    hop_size: int,
+    win_fn: str = "hamm",
+    n_iter: int = 50,
+    seed: int = 0,
+) -> np.ndarray:
+    """Phase reconstruction from a magnitude spectrogram (freq, frames)."""
+    rng = np.random.default_rng(seed)
+    angles = np.exp(2j * np.pi * rng.random(magnitude.shape))
+    mag = np.abs(magnitude).astype(np.float64)
+    window = get_window(win_fn, win_size).astype(np.float64)
+    for _ in range(n_iter):
+        signal = _istft(mag * angles, win_size, hop_size, win_fn)
+        padded = np.pad(signal, (win_size // 2, win_size // 2))
+        nf = num_frames(len(padded), win_size, hop_size)
+        idx = np.arange(nf)[:, None] * hop_size + np.arange(win_size)[None, :]
+        rebuilt = np.fft.rfft(padded[idx] * window, axis=1).T
+        rebuilt = rebuilt[:, : mag.shape[1]]
+        angles = np.exp(1j * np.angle(rebuilt))
+    return _istft(mag * angles, win_size, hop_size, win_fn).astype(np.float32)
+
+
+def inv_spectrogram(
+    spec, sr, win_size, hop_size, win_fn="hamm", ref_db=20, top_db=100,
+    normalize=False, n_iter=50, preemph=0.0,
+):
+    """Normalized-dB power spectrogram → waveform."""
+    db = np.asarray(spec, np.float64)
+    if normalize:
+        db = db * top_db - top_db + ref_db
+    amp = np.sqrt(np.power(10.0, 0.1 * db))
+    wav = griffin_lim(amp, win_size, hop_size, win_fn, n_iter)
+    return deemphasis(wav, preemph)
+
+
+def inv_mel_spectrogram(
+    mel, sr, win_size, hop_size, win_fn="hamm", n_mels=80, fmin=25, fmax=7600,
+    ref_db=20, top_db=100, normalize=False, n_iter=50, preemph=0.0,
+):
+    """Normalized-dB mel → waveform via pinv mel filters + Griffin-Lim."""
+    db = np.asarray(mel, np.float64)
+    if normalize:
+        db = db * top_db - top_db + ref_db
+    power = np.power(10.0, 0.1 * db)
+    inv_filt = np.linalg.pinv(mel_filters(sr, win_size, n_mels, fmin, fmax))
+    lin_power = np.maximum(inv_filt @ power, 1e-10)
+    wav = griffin_lim(np.sqrt(lin_power), win_size, hop_size, win_fn, n_iter)
+    return deemphasis(wav, preemph)
+
+
+# ---------------------------------------------------------------------------
 # RMS energy (librosa.feature.rms(center=False) parity)
 # ---------------------------------------------------------------------------
 def rms_energy(signal: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:

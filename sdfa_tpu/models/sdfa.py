@@ -11,6 +11,7 @@ speaker_id (N,)) → prediction dict + attention alignments.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -22,7 +23,7 @@ from ..nn import LayerStack, freeze_specs
 from ..nn import functions as fn
 from ..utils.config import ConfigDict
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..nn.precision import MODEL_PREC as _PREC
 
 FACE_TYPES = ("dgrad_3d", "blend_1d", "verts_pos_3d", "verts_off_3d",
               "marks_pos_2d", "marks_off_2d")
@@ -171,9 +172,10 @@ class SpeechDrivenAnimation(nn.Module):
             align_dict.update(a1)
             align_dict.update(a2)
             if self.using_pca and not self.return_pca:
-                n, l = x_scale.shape[0], x_scale.shape[1]
-                x_scale = self.scale_pca(x_scale).reshape(n, l, -1, 6)
-                x_rotat = self.rotat_pca(x_rotat).reshape(n, l, -1, 3)
+                # keep outputs FLAT (N, L, tris·6 / tris·3): trailing dims of
+                # 6/3 would be padded to 128 lanes on TPU (14-42× memory)
+                x_scale = self.scale_pca(x_scale)
+                x_rotat = self.rotat_pca(x_rotat)
             preds[f"dgrad_3d_scale{postfix}"] = x_scale
             preds[f"dgrad_3d_rotat{postfix}"] = x_rotat
         else:
@@ -199,13 +201,29 @@ class SpeechDrivenAnimation(nn.Module):
                 rotat = pca_apply("rotat_pca", preds["dgrad_3d_rotat_pca"])
             else:
                 scale, rotat = preds["dgrad_3d_scale"], preds["dgrad_3d_rotat"]
-            scale = scale.reshape(scale.shape[:2] + (-1, 6))
-            rotat = rotat.reshape(rotat.shape[:2] + (-1, 3))
-            data = jnp.concatenate([scale, rotat], axis=-1)
-            return data.reshape(data.shape[:-2] + (-1,))
+            scale = scale.reshape(scale.shape[:2] + (-1,))
+            rotat = rotat.reshape(rotat.shape[:2] + (-1,))
+            # interleave [6 scale | 3 rotat] per triangle via one gather along
+            # the (large) last dim — layout-safe on TPU, no (…, tris, 9) temp
+            n_tris = scale.shape[-1] // 6
+            perm = _interleave_perm(n_tris)
+            flat = jnp.concatenate([scale, rotat], axis=-1)
+            return jnp.take(flat, perm, axis=-1)
         if self.return_pca:
             return pca_apply("pca", preds[f"{self.face_type}_pca"])
         return preds[self.face_type]
+
+
+@functools.lru_cache(maxsize=None)
+def _interleave_perm(n_tris: int):
+    """perm[9j+k] = 6j+k (k<6) else 6·T + 3j + (k−6): dgrad frame layout."""
+    j = np.arange(n_tris)
+    perm = np.empty(n_tris * 9, np.int32)
+    for k in range(6):
+        perm[9 * j + k] = 6 * j + k
+    for k in range(3):
+        perm[9 * j + 6 + k] = 6 * n_tris + 3 * j + k
+    return jnp.asarray(perm)
 
 
 def _npy_loader(*paths):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .layers import Conv1d, FullyConnected
 
-_PREC = jax.lax.Precision.HIGHEST
+from .precision import MODEL_PREC as _PREC
 
 
 def _smoothing_normalization(e, axis=-1):

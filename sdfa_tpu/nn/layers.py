@@ -29,7 +29,7 @@ import numpy as np
 
 from . import functions as fn
 
-_PREC = jax.lax.Precision.HIGHEST
+from .precision import MODEL_PREC as _PREC
 
 
 def _pair(x):

@@ -1,0 +1,20 @@
+"""Matmul precision policy for the NN compute path.
+
+The DSP frontend and the deformation solver always run at HIGHEST (they are
+the numerical parity backbone).  The learned model's matmuls default to
+HIGHEST too, but can be relaxed via SDFA_MATMUL_PRECISION=high|default for
+throughput — vertex-level parity stays well under the 1e-4 budget at "high"
+(3-pass bf16 ≈ 2e-6 relative error).
+"""
+
+import os
+
+import jax
+
+_NAMES = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+MODEL_PREC = _NAMES[os.environ.get("SDFA_MATMUL_PRECISION", "highest").lower()]

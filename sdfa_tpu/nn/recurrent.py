@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-_PREC = jax.lax.Precision.HIGHEST
+from .precision import MODEL_PREC as _PREC
 
 
 def _lstm_scan(x_proj, w_hh, b, hidden_size: int, reverse: bool = False):

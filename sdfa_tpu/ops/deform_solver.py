@@ -103,6 +103,41 @@ def _rhs_fn(consts: DeformConsts, spec: SolverSpec, dgrad: jnp.ndarray,
     return rhs
 
 
+def _transform_entries(dgrad_flat: jnp.ndarray, n_tris: int):
+    """dgrad (..., n_tris·9) → the 9 entries of T = exp(skew)·S as a 3×3
+    nested list of (..., n_tris) arrays.
+
+    TPU layout note: keeping per-component planes (minor dim = n_tris)
+    avoids the (..., n_tris, 9)/(..., 3, 3) layouts whose 128-lane tile
+    padding blows memory up 14-42× on TPU.
+    """
+    d = [dgrad_flat[..., k::9] for k in range(9)]
+    one = jnp.ones_like(d[0])
+    # symmetric scale S (+I on the diagonal)
+    s = [[d[0] + 1.0, d[1], d[2]],
+         [d[1], d[3] + 1.0, d[4]],
+         [d[2], d[4], d[5] + 1.0]]
+    # rotation R = cosθ·I + sinθ·K + (1−cosθ)·aaᵀ with ω = (−d8, d7, −d6)
+    w0, w1, w2 = -d[8], d[7], -d[6]
+    theta2 = w0 * w0 + w1 * w1 + w2 * w2
+    theta = jnp.sqrt(theta2)
+    small = theta < 1e-6
+    inv_t = jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, theta))
+    a0, a1, a2 = w0 * inv_t, w1 * inv_t, w2 * inv_t
+    st = jnp.sin(theta)
+    ct = jnp.cos(theta)
+    omc = 1.0 - ct
+    r = [[ct + omc * a0 * a0, -st * a2 + omc * a0 * a1, st * a1 + omc * a0 * a2],
+         [st * a2 + omc * a1 * a0, ct + omc * a1 * a1, -st * a0 + omc * a1 * a2],
+         [-st * a1 + omc * a2 * a0, st * a0 + omc * a2 * a1, ct + omc * a2 * a2]]
+    # identity where θ ≈ 0 (rotation part only)
+    eye = [[one, 0 * one, 0 * one], [0 * one, one, 0 * one], [0 * one, 0 * one, one]]
+    r = [[jnp.where(small, eye[i][j], r[i][j]) for j in range(3)] for i in range(3)]
+    # T = R·S
+    t = [[sum(r[i][k] * s[k][j] for k in range(3)) for j in range(3)] for i in range(3)]
+    return t
+
+
 def solve_fn(
     consts: DeformConsts,
     dgrad: jnp.ndarray,
@@ -111,28 +146,54 @@ def solve_fn(
     spec: SolverSpec,
     method: str = "direct",
     refine: int = 2,
+    out_layout: str = "v3",
 ) -> jnp.ndarray:
-    """Pure batched solve: dgrad (..., F, 9) → vertices (..., V, 3).
+    """Pure batched solve: dgrad (..., F, 9) or (..., F·9) → vertices.
 
-    Jittable with ``consts`` as a pytree argument; embed freely in larger
-    jitted programs.
+    out_layout: "v3" → (..., V, 3) (host-friendly; avoid for huge batches on
+    TPU — lane padding), "3v" → (..., 3, V) (TPU-native), "flat" → (..., V·3).
+    Jittable with ``consts`` as a pytree argument.
     """
     if method == "direct":
-        tt_eq = _eq_transforms_t(consts, spec, dgrad)
-        batch_dims = tt_eq.shape[:-3]
-        k = 3 * spec.n_eqs
-        d = tt_eq.reshape(batch_dims + (k, 3))
-        # fold all batch dims into matmul columns so the big P operator
-        # streams from HBM exactly once per call: (m, K) @ (K, B·3)
-        d_flat = d.reshape((-1, k, 3))
-        b = d_flat.shape[0]
-        cols = jnp.transpose(d_flat, (1, 0, 2)).reshape(k, b * 3)
-        x = jnp.matmul(consts.p, cols, precision=_PREC)
-        x = jnp.transpose(x.reshape(spec.n_free, b, 3), (1, 0, 2))
-        x = x.reshape(batch_dims + (spec.n_free, 3))
+        if dgrad.shape[-1] == 9:
+            dgrad_flat = dgrad.reshape(dgrad.shape[:-2] + (spec.n_tris * 9,))
+        else:
+            dgrad_flat = dgrad
+        t = _transform_entries(dgrad_flat, spec.n_tris)
+        if not spec.identity_eq:
+            src = jnp.clip(consts.eq_src, 0, None)
+            ident = (consts.eq_src < 0)
+            t = [[jnp.where(ident, 1.0 if i == j else 0.0,
+                            jnp.take(t[i][j], src, axis=-1))
+                  for j in range(3)] for i in range(3)]
+        # X_d = Σ_c T[d][c] @ P_cᵀ, with P_c = P[:, c::3] (n_free, n_eqs)
+        xs = []
+        for dd in range(3):
+            acc = None
+            for c in range(3):
+                p_c = consts.p[:, c::3]  # (n_free, n_eqs)
+                term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
+                acc = term if acc is None else acc + term
+            xs.append(acc)  # (..., n_free)
+        x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
         if spec.n_cnsts > 0:
-            x = x - jnp.einsum("mr,rd->md", consts.par, cnst_verts, precision=_PREC)
+            corr = jnp.matmul(consts.par, cnst_verts, precision=_PREC)  # (n_free, 3)
+            x = x - corr.T
+        batch_shape = x.shape[:-2]
+        out = jnp.zeros(batch_shape + (3, spec.n_verts), x.dtype)
+        out = out.at[..., consts.free_ids].set(x)
+        if spec.n_cnsts > 0:
+            out = out.at[..., consts.cnst_ids].set(
+                jnp.broadcast_to(cnst_verts.T, batch_shape + (3, spec.n_cnsts))
+            )
+        if out_layout == "3v":
+            return out
+        if out_layout == "flat":
+            return jnp.swapaxes(out, -1, -2).reshape(batch_shape + (spec.n_verts * 3,))
+        return jnp.swapaxes(out, -1, -2)
     else:
+        if dgrad.shape[-1] != 9:
+            dgrad = dgrad.reshape(dgrad.shape[:-1] + (spec.n_tris, 9))
         rhs = _rhs_fn(consts, spec, dgrad, cnst_verts)
 
         def apply_inv(bb):

@@ -1,0 +1,120 @@
+"""TensorBoard summary helper + plot plugin registry.
+
+Reference: saber/trainer/manager/tb_helpers.py:5-62 (nested-scalar/image/
+audio/text/mesh wrappers) and experiment.py:158-185 (register_plot plugin
+registry, with the two shipped plugins in speech_anime/model/logger.py —
+pred/true meshes, input feature maps, attention alignments, audio clips).
+
+TensorBoard comes via torch.utils.tensorboard (present in this image); all
+writes are optional — the JSONL/CSV streams in trainer.py remain the
+primary record.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..utils import log
+
+
+class SummaryHelper:
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(log_dir=log_dir)
+        except Exception as exc:  # pragma: no cover
+            log.warn(f"tensorboard unavailable: {exc}")
+            self._writer = None
+
+    @property
+    def enabled(self) -> bool:
+        return self._writer is not None
+
+    def scalar(self, tag: str, value, step: int):
+        """Nested dicts flatten into tag paths (tb_helpers.py:14-27)."""
+        if self._writer is None:
+            return
+        if isinstance(value, dict):
+            for key, val in value.items():
+                self.scalar(f"{tag}/{key}", val, step)
+        else:
+            self._writer.add_scalar(tag, float(value), step)
+
+    def image(self, tag: str, img: np.ndarray, step: int):
+        if self._writer is None:
+            return
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = img[None]
+        elif img.ndim == 3 and img.shape[-1] in (1, 3, 4):
+            img = np.transpose(img, (2, 0, 1))  # HWC → CHW
+        self._writer.add_image(tag, img, step)
+
+    def audio(self, tag: str, signal: np.ndarray, sr: int, step: int):
+        if self._writer is None:
+            return
+        self._writer.add_audio(tag, np.asarray(signal)[None], step, sample_rate=sr)
+
+    def text(self, tag: str, text: str, step: int):
+        if self._writer is None:
+            return
+        self._writer.add_text(tag, text, step)
+
+    def mesh(self, tag: str, verts: np.ndarray, faces: Optional[np.ndarray], step: int):
+        if self._writer is None:
+            return
+        import torch
+
+        v = torch.from_numpy(np.asarray(verts, np.float32))[None]
+        f = torch.from_numpy(np.asarray(faces, np.int32))[None] if faces is not None else None
+        self._writer.add_mesh(tag, vertices=v, faces=f, global_step=step)
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+
+# -- plot plugin registry (experiment.py:158-185) -----------------------------
+_PLOT_PLUGINS: List[Callable] = []
+
+
+def register_plot(fn: Callable) -> Callable:
+    """Decorator: fn(summary, experiment, batch, outputs, step) called every
+    plot_gap_steps during training."""
+    _PLOT_PLUGINS.append(fn)
+    return fn
+
+
+def run_plot_plugins(summary: "SummaryHelper", experiment, batch, outputs, step: int):
+    for fn in _PLOT_PLUGINS:
+        try:
+            fn(summary, experiment, batch, outputs, step)
+        except Exception as exc:  # plugins must never kill training
+            log.warn(f"plot plugin {fn.__name__} failed: {exc}")
+
+
+# -- shipped plugins (speech_anime/model/logger.py:14-103 equivalents) --------
+@register_plot
+def plot_input_features(summary, experiment, batch, outputs, step):
+    feats = np.asarray(batch.get("audio_feat"))[:1]  # (1, T, F, C)
+    if feats is None or feats.ndim != 4:
+        return
+    from ..utils import visualizer
+
+    img = visualizer.color_mapping(feats[0, :, :, 0].T)  # mel channel (F, T)
+    summary.image("inputs/mel", img, step)
+
+
+@register_plot
+def plot_attention_alignment(summary, experiment, batch, outputs, step):
+    aligns = outputs.get("align_dict") if isinstance(outputs, dict) else None
+    if not aligns:
+        return
+    from ..utils import visualizer
+
+    for tag, align in aligns.items():
+        a = np.asarray(align)[0]  # (1, T)
+        summary.image(f"align/{tag}", visualizer.color_mapping(a), step)

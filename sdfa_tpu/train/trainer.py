@@ -97,6 +97,10 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
             pred_r = preds[f"dgrad_3d_rotat{postfix}"]
             true_s = batch[f"dgrad_3d_scale{postfix}"]
             true_r = batch[f"dgrad_3d_rotat{postfix}"]
+            if is_face_data:
+                # model outputs are flat (layout-safe); losses reduce per-tri
+                pred_s = pred_s.reshape(pred_s.shape[:2] + (-1, 6))
+                pred_r = pred_r.reshape(pred_r.shape[:2] + (-1, 3))
             ps = L.ploss(pred_s, true_s, weights, **kw)
             ms = L.mloss(pred_s, true_s, weights, **kw)
             pr = L.ploss(pred_r, true_r, weights, **kw)

@@ -69,8 +69,9 @@ class TestModel:
     def test_forward_shapes(self, tiny):
         model, variables, feat, spk = tiny
         preds, z, aligns = model.apply(variables, feat, spk, False)
-        assert preds["dgrad_3d_scale"].shape == (4, 1, 10, 6)
-        assert preds["dgrad_3d_rotat"].shape == (4, 1, 10, 3)
+        # flat outputs (layout-safe on TPU): tris·6 / tris·3
+        assert preds["dgrad_3d_scale"].shape == (4, 1, 60)
+        assert preds["dgrad_3d_rotat"].shape == (4, 1, 30)
         assert z.shape == (4, 1, 16)
         assert len(aligns) == 1
 
@@ -81,8 +82,10 @@ class TestModel:
         assert anime.shape == (4, 1, 90)
         # layout: per-triangle [6 scale, 3 rotat]
         scale = np.asarray(preds["dgrad_3d_scale"]).reshape(4, 1, 10, 6)
+        rotat = np.asarray(preds["dgrad_3d_rotat"]).reshape(4, 1, 10, 3)
         out = np.asarray(anime).reshape(4, 1, 10, 9)
         np.testing.assert_allclose(out[..., :6], scale, atol=1e-6)
+        np.testing.assert_allclose(out[..., 6:], rotat, atol=1e-6)
 
     def test_speaker_onehot(self):
         emb = SpeakerEmbedding(num_speakers=4, using_onehot=True)
