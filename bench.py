@@ -37,6 +37,12 @@ def _ensure_pca(root: str):
 
 def main():
     import jax
+
+    # persistent compilation cache: the driver's bench run should not pay
+    # the multi-minute TPU compile more than once
+    os.makedirs("/tmp/sdfa_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sdfa_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from sdfa_tpu.audio import pipeline as audio_pipeline

@@ -434,6 +434,55 @@ class GradScaler(nn.Module):
         return x * s + jax.lax.stop_gradient(x * (1.0 - s))
 
 
+class Residual1d(nn.Module):
+    """Pre-activation residual conv block (reference conv1d.py:103-150)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    stride: int = 1
+    batch_norm: Optional[dict] = None
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        residual = x
+        h = jax.nn.relu(x)
+        h = Conv1d(in_channels=self.in_channels, out_channels=self.out_channels,
+                   kernel_size=3, stride=self.stride, bias=False,
+                   batch_norm=self.batch_norm, bn_first=True, activation="relu",
+                   weight_norm=self.weight_norm, name="conv1")(h, training)
+        h = Conv1d(in_channels=self.out_channels, out_channels=self.out_channels,
+                   kernel_size=3, bias=False, batch_norm=self.batch_norm,
+                   weight_norm=self.weight_norm, name="conv2")(h, training)
+        if self.in_channels != self.out_channels:
+            residual = Conv1d(in_channels=self.in_channels,
+                              out_channels=self.out_channels, kernel_size=1,
+                              bias=False, weight_norm=self.weight_norm,
+                              name="shortcut")(residual, training)
+        return h + residual
+
+
+class ResidualStack1d(nn.Module):
+    """(reference conv1d.py:153-176)."""
+
+    in_channels: int = 0
+    out_channels: int = 0
+    num_blocks: int = 1
+    batch_norm: Optional[dict] = None
+    weight_norm: bool = False
+    last_activation: Optional[str] = "relu"
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        cin = self.in_channels
+        for i in range(self.num_blocks):
+            x = Residual1d(in_channels=cin, out_channels=self.out_channels,
+                           batch_norm=self.batch_norm, weight_norm=self.weight_norm,
+                           name=f"block_{i}")(x, training)
+            cin = self.out_channels
+        return fn.parse_activation(self.last_activation)(x)
+
+
 class MultiplicativeNoise(nn.Module):
     """x · base^N(mean, std), same noise for adjacent-frame half batch
     (reference: speech_anime/layers/misc.py:29-43)."""

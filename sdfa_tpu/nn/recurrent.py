@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from .precision import MODEL_PREC as _PREC
 
 
+_SCAN_UNROLL = 1  # >1 balloons compile time over the remote tunnel without speedup
+
+
 def _lstm_scan(x_proj, w_hh, b, hidden_size: int, reverse: bool = False):
     """x_proj: (B, T, 4H) precomputed input projection; returns (B, T, H).
 
@@ -45,8 +48,40 @@ def _lstm_scan(x_proj, w_hh, b, hidden_size: int, reverse: bool = False):
         return (h, c), h
 
     xs = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H)
-    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse,
+                              unroll=_SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1)  # (B, T, H)
+
+
+def _lstm_scan_bidir(x_proj_f, x_proj_r, w_hh_f, w_hh_r, b_f, b_r, hidden_size: int):
+    """Both directions in ONE scan: the reverse stream runs on time-flipped
+    projections, gate matmuls batch over a leading direction axis — half the
+    sequential scan steps of two separate scans (TPU: scan steps serialize)."""
+    bsz, t, gdim = x_proj_f.shape
+    xs = jnp.stack([
+        jnp.swapaxes(x_proj_f, 0, 1),                      # (T, B, 4H)
+        jnp.swapaxes(jnp.flip(x_proj_r, axis=1), 0, 1),
+    ], axis=1)  # (T, 2, B, 4H)
+    w_hh = jnp.stack([w_hh_f, w_hh_r])  # (2, H, 4H)
+    bias = jnp.stack([b_f, b_r]) if b_f is not None else None  # (2, 4H)
+    h0 = jnp.zeros((2, bsz, hidden_size), x_proj_f.dtype)
+    c0 = jnp.zeros((2, bsz, hidden_size), x_proj_f.dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum("dbh,dhg->dbg", h, w_hh, precision=_PREC)
+        if b_f is not None:
+            gates = gates + bias[:, None, :]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (_, _), hs = jax.lax.scan(step, (h0, c0), xs, unroll=_SCAN_UNROLL)
+    # hs: (T, 2, B, H) → fwd (B,T,H) + rev unflipped (B,T,H)
+    fwd = jnp.swapaxes(hs[:, 0], 0, 1)
+    rev = jnp.flip(jnp.swapaxes(hs[:, 1], 0, 1), axis=1)
+    return jnp.concatenate([fwd, rev], axis=-1)
 
 
 def _gru_scan(x_proj, w_hh, b_hh, hidden_size: int, reverse: bool = False):
@@ -122,15 +157,25 @@ class LSTM(_RNNBase):
         dirs = 2 if self.bidirectional else 1
         for layer in range(self.num_layers):
             in_size = self.input_size if layer == 0 else self.hidden_size * dirs
-            outs = []
-            for direction in range(dirs):
-                w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
+            if dirs == 2:
+                w_ih_f, w_hh_f, b_fp = self._gate_params(layer, 0, in_size)
+                w_ih_r, w_hh_r, b_rp = self._gate_params(layer, 1, in_size)
+                # one big input projection for both directions
+                x_proj = jnp.matmul(
+                    out, jnp.concatenate([w_ih_f, w_ih_r], axis=1), precision=_PREC
+                )
+                x_f, x_r = jnp.split(x_proj, 2, axis=-1)
+                out = _lstm_scan_bidir(
+                    x_f, x_r, w_hh_f, w_hh_r,
+                    None if b_fp is None else b_fp[0] + b_fp[1],
+                    None if b_rp is None else b_rp[0] + b_rp[1],
+                    self.hidden_size,
+                )
+            else:
+                w_ih, w_hh, b = self._gate_params(layer, 0, in_size)
                 x_proj = jnp.matmul(out, w_ih, precision=_PREC)
                 bias_sum = None if b is None else (b[0] + b[1])
-                outs.append(
-                    _lstm_scan(x_proj, w_hh, bias_sum, self.hidden_size, reverse=bool(direction))
-                )
-            out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
+                out = _lstm_scan(x_proj, w_hh, bias_sum, self.hidden_size)
             if layer < self.num_layers - 1:
                 out = self._layer_dropout(out, training)
         return out

@@ -56,6 +56,8 @@ _REGISTRY: Dict[str, Tuple[Any, List[str], bool]] = {
                  ["in_channels", "out_channels", "kernel_size", "stride", "padding",
                   "output_padding", "dilation", "groups", "bias", "want_size"], True),
     "pool1d": (layers.Pool1d, ["mode", "kernel_size", "stride", "padding"], False),
+    "res1d": (layers.ResidualStack1d,
+              ["in_channels", "out_channels", "num_blocks"], True),
     "pool2d": (layers.Pool2d, ["mode", "kernel_size", "stride", "padding"], False),
     "flatten": (layers.Flatten, ["start_dim"], False),
     "permute": (layers.Permute, ["dims"], False),

@@ -92,7 +92,10 @@ class AnimationTask:
         if ensembling_ms is None:
             ensembling_ms = self.hp.get("ensembling_ms", 0)
 
-        cache_key = signal.tobytes()
+        # include ensembling in the key (the reference keys only on the
+        # signal, model.py:409-416 — changing ensembling_ms there silently
+        # reuses stale features)
+        cache_key = (signal.tobytes(), float(ensembling_ms or 0))
         if self._signal_cache[0] == cache_key:
             features_tuple = self._signal_cache[1]
         else:

@@ -36,6 +36,7 @@ from ..utils import log
 from ..utils.config import ConfigDict
 from . import checkpoints as ckpt_io
 from . import lr_schedules
+from . import summary as summary_lib
 
 
 @flax.struct.dataclass
@@ -159,6 +160,9 @@ def make_optimizer(hparams: ConfigDict):
         tx = optax.inject_hyperparams(optax.adamw)(learning_rate=base_lr, b1=0.9, weight_decay=wd)
     else:
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=base_lr, b1=0.9)
+    grad_clip = hparams.get("trainer", {}).get("grad_clip")
+    if grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
     return tx, lr_fn, beta1_fn, mode, base_lr
 
 
@@ -172,9 +176,12 @@ def make_train_step(model, hparams, tx, donate: bool = True):
             state.scalers, batch, rng, True,
         )
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        if "b1" in opt_state.hyperparams:
-            opt_state.hyperparams["b1"] = beta1
+        inject = opt_state
+        if not hasattr(inject, "hyperparams"):  # grad-clip chain wraps it
+            inject = next(s for s in opt_state if hasattr(s, "hyperparams"))
+        inject.hyperparams["learning_rate"] = lr
+        if "b1" in inject.hyperparams:
+            inject.hyperparams["b1"] = beta1
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # total grad norm (reference GradInformation, grads.py:8-29)
@@ -263,6 +270,18 @@ class Experiment:
         self.train_step_fn = make_train_step(model, hparams, self.tx)
         self.eval_step_fn = make_eval_step(model, hparams)
         self._metrics_fp = open(os.path.join(log_dir, "train_log", "metrics.jsonl"), "a")
+        self.summary = summary_lib.SummaryHelper(os.path.join(log_dir, "train_log", "tb"))
+
+        def plot_forward(state, batch, rng):
+            preds, z, aligns = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats,
+                 "constants": state.constants},
+                batch["audio_feat"], batch["speaker_id"], False,
+                rngs={"dropout": rng},
+            )
+            return dict(prediction=preds, latent=z, align_dict=aligns)
+
+        self.plot_forward_fn = jax.jit(plot_forward)
 
     def _example_feat_shape(self):
         frames = int(self.hp.audio.feature.get("sliding_window_frames", 64))
@@ -382,6 +401,8 @@ class Trainer:
         self.metric_larger = bool(hp_tr.get("reference_metric_larger", False))
         self.best_metric = None
         self.grad_clip = hp_tr.get("grad_clip")
+        self.plot_gap_steps = int(hp_tr.get("plot_gap_steps", 0) or 0)
+        self.eval_gap_epochs = int(hp_tr.get("eval_gap_epochs", 0) or 0)
 
     def _run_hooks(self, point: str, **kwargs):
         for fn in self._hooks[point]:
@@ -410,12 +431,36 @@ class Trainer:
             exp.epoch += 1
             if self.save_gap_epochs and exp.epoch % int(self.save_gap_epochs) == 0:
                 exp.save()
+            if self.eval_gap_epochs and exp.epoch % self.eval_gap_epochs == 0:
+                self._evaluate_mid_training()
             self._run_hooks("post_epoch", epoch=exp.epoch)
             log.info(
                 f"epoch {exp.epoch}/{self.max_epochs} done in {time.time()-t0:.1f}s "
                 f"train_ploss={train_metrics.get('scalar_ploss', float('nan')):.5f}"
             )
         exp.save()
+
+    def _evaluate_mid_training(self):
+        """Full video generation mid-training (reference trainer.py:494-497);
+        skipped quietly when no eval sources are configured."""
+        exp = self.exp
+        sources = (exp.hp.trainer.get("evaluate") or {}).get("test") or []
+        sources = [s for s in sources if os.path.exists(str(s[0]))]
+        if not sources:
+            return
+        try:
+            from ..task import AnimationTask
+
+            variables = {
+                "params": jax.device_get(exp.state.params),
+                "batch_stats": jax.device_get(exp.state.batch_stats),
+                "constants": jax.device_get(exp.state.constants),
+            }
+            task = AnimationTask(exp.hp, exp.model, variables)
+            out_dir = os.path.join(exp.log_dir, "eval_at_train", f"epoch{exp.epoch:04d}")
+            task.evaluate(sources, output_dir=out_dir, export_mesh_frames=False)
+        except Exception as exc:
+            log.warn(f"mid-training evaluate failed: {exc}")
 
     def _is_better(self, value: float) -> bool:
         if self.best_metric is None:
@@ -437,8 +482,17 @@ class Trainer:
             device_metrics.append(metrics)
             count += 1
             if count % 50 == 0:
+                step_now = int(jax.device_get(exp.state.step))
                 vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
-                exp.write_metrics("train", vals, int(jax.device_get(exp.state.step)))
+                exp.write_metrics("train", vals, step_now)
+                exp.summary.scalar("train", vals, step_now)
+            if self.plot_gap_steps and count % self.plot_gap_steps == 0:
+                exp.rng, plot_rng = jax.random.split(exp.rng)
+                outputs = jax.device_get(exp.plot_forward_fn(exp.state, batch, plot_rng))
+                summary_lib.run_plot_plugins(
+                    exp.summary, exp, jax.device_get(batch), outputs,
+                    int(jax.device_get(exp.state.step)),
+                )
         self._run_hooks("post_train", epoch=exp.epoch)
         if not device_metrics:
             return {}

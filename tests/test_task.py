@@ -1,0 +1,73 @@
+"""AnimationTask inference-wrapper tests (tiny model, fast on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdfa_tpu.task import AnimationTask
+from sdfa_tpu.utils.config import ConfigDict
+
+from test_model_and_losses import _tiny_model
+
+
+def _tiny_hparams():
+    return ConfigDict(dict(
+        audio=dict(
+            sample_rate=8000,
+            feature=dict(name="mel", with_delta=True, sliding_window_frames=12),
+            mel=dict(n_mels=16, win_size=512, hop_size=64, win_fn="hamm",
+                     padding=False, fmin=50, fmax=3600, ref_db=20, top_db=80,
+                     normalize=True, clip_normalized=True, subtract_mean=False,
+                     preemphasis=0.65),
+        ),
+        anime=dict(fps=60, feature=dict(ts_delta=100)),
+        dataset_anime=dict(speakers=dict(m0=0, m1=1), emotions=dict(neutral=0),
+                           audio_target_db=-24.5),
+        ensembling_ms=0,
+        model=dict(face_data_type="dgrad_3d", prediction_type="face_data"),
+    ))
+
+
+@pytest.fixture(scope="module")
+def task():
+    model = _tiny_model()
+    hp = _tiny_hparams()
+    feat = jnp.zeros((2, 12, 16, 3))
+    spk = jnp.zeros((2,), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, feat, spk, False)
+    return AnimationTask(hp, model, variables, batch_windows=16)
+
+
+class TestAnimationTask:
+    def test_feature_to_anime_padding(self, task):
+        # 21 windows with bs=16 → one full chunk + one padded chunk
+        feats = np.random.default_rng(0).normal(size=(21, 12, 16, 3)).astype(np.float32)
+        animes, others = task.feature_to_anime(feats, speaker_id=1)
+        assert animes.shape == (21, 90)
+        assert others["latent"].shape[0] == 21
+
+    def test_generate_animation_and_cache(self, task):
+        rng = np.random.default_rng(1)
+        sig = (0.1 * rng.normal(size=4000)).clip(-1, 1).astype(np.float32)
+        ts1, an1, _ = task.generate_animation(sig, speaker="m1")
+        assert len(ts1) == len(an1)
+        # same signal → cached features (identical result)
+        ts2, an2, _ = task.generate_animation(sig, speaker="m1")
+        np.testing.assert_array_equal(an1, an2)
+
+    def test_ensembling_averages(self, task):
+        rng = np.random.default_rng(2)
+        sig = (0.1 * rng.normal(size=4000)).clip(-1, 1).astype(np.float32)
+        _, plain, _ = task.generate_animation(sig, speaker=0, ensembling_ms=0)
+        _, ens, _ = task.generate_animation(sig, speaker=0, ensembling_ms=50)
+        assert plain.shape == ens.shape
+        assert not np.allclose(plain, ens)  # shifted pass mixed in
+
+    def test_speaker_name_resolution(self, task):
+        sig = np.zeros(4000, np.float32)
+        ts_a, a, _ = task.generate_animation(sig, speaker="m0")
+        ts_b, b, _ = task.generate_animation(sig, speaker=0)
+        np.testing.assert_array_equal(a, b)
