@@ -14,6 +14,11 @@ import os
 import sys
 import time
 
+# throughput config: 3-pass f32 matmuls everywhere (≈2e-6 relative error,
+# far inside the 1e-4 vertex budget); override via env to compare
+os.environ.setdefault("SDFA_MATMUL_PRECISION", "high")
+os.environ.setdefault("SDFA_OPS_PRECISION", "high")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np

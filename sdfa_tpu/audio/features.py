@@ -65,6 +65,19 @@ def _lpc(signal, sr, order=32, win_size=None, hop_size=None, win_fn="hamm",
     return out.T  # (order+1, frames)
 
 
+def _deepspeech_spec(signal, sr, win_size, hop_size, win_fn="hann",
+                     padding=False, normalize=False, preemphasis=0, **kw):
+    """log1p magnitude spectrogram (reference features/others.py:6-28)."""
+    sig = np.asarray(signal, np.float32)
+    if preemphasis:
+        sig = np.append(sig[:1], sig[1:] - preemphasis * sig[:-1]).astype(np.float32)
+    power = np.asarray(dsp.stft_power(sig, int(win_size), int(hop_size), win_fn, padding))
+    mag = np.sqrt(np.maximum(power, 0.0))
+    if normalize:
+        raise NotImplementedError("normalize is NotImplemented upstream too")
+    return np.log1p(mag).astype(np.float32)
+
+
 __support__ = {
     "lpc": _lpc,
     "mel": _mel,
@@ -72,7 +85,7 @@ __support__ = {
     "spec": _spec,
     "linear": _spec,
     "spectrogram": _spec,
-    "deepspeech_spec": _spec,
+    "deepspeech_spec": _deepspeech_spec,
 }
 
 

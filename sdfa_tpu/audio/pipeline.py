@@ -25,7 +25,7 @@ import numpy as np
 from ..utils.config import ConfigDict
 from . import dsp
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..nn.precision import OPS_PREC as _PREC
 
 
 class WindowSpec:

@@ -18,3 +18,6 @@ _NAMES = {
 }
 
 MODEL_PREC = _NAMES[os.environ.get("SDFA_MATMUL_PRECISION", "highest").lower()]
+
+# ops (solver/dgrad/frontend) precision — separate knob, HIGHEST default
+OPS_PREC = _NAMES[os.environ.get("SDFA_OPS_PRECISION", "highest").lower()]

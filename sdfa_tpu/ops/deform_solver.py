@@ -32,7 +32,7 @@ import numpy as np
 
 from . import dgrad as dgrad_ops
 
-_PREC = jax.lax.Precision.HIGHEST
+from ..nn.precision import OPS_PREC as _PREC
 
 
 class DeformConsts(NamedTuple):

@@ -31,12 +31,18 @@ class AnimationTask:
         model: SpeechDrivenAnimation,
         variables: Dict,
         batch_windows: int = 100,
+        device_frontend: Optional[bool] = None,
     ):
         self.hp = hparams
         self.model = model
         self.variables = variables
         self.bs = int(batch_windows)
-        self._signal_cache: Tuple[Optional[bytes], Optional[dict]] = (None, None)
+        self._signal_cache: Tuple[Optional[tuple], Optional[dict]] = (None, None)
+        if device_frontend is None:
+            # the fused on-device frontend is the fast path on accelerators;
+            # the host numpy path matches the reference bit-for-bit
+            device_frontend = jax.default_backend() != "cpu"
+        self.device_frontend = bool(device_frontend)
 
         def fwd(variables, feats, spk):
             preds, z, aligns = model.apply(variables, feats, spk, False)
@@ -99,12 +105,17 @@ class AnimationTask:
         if self._signal_cache[0] == cache_key:
             features_tuple = self._signal_cache[1]
         else:
-            features = DatasetSlidingWindow.fetch_audio_features(signal, self.hp)
+            if self.device_frontend:
+                from .audio.pipeline import fetch_audio_features_device as fetch
+            else:
+                fetch = lambda sig, hp: DatasetSlidingWindow.fetch_audio_features(sig, hp)
+            features = fetch(signal, self.hp)
+            features = dict(features, audio_feat=np.asarray(features["audio_feat"]))
             features_tuple = (features,)
             if ensembling_ms and ensembling_ms > 0:
                 pad = int(ensembling_ms * self.hp.audio.sample_rate) // 1000
                 prev = np.pad(signal[:-pad], (pad, 0))
-                features_tuple += (DatasetSlidingWindow.fetch_audio_features(prev, self.hp),)
+                features_tuple += (fetch(prev, self.hp),)
             self._signal_cache = (cache_key, features_tuple)
 
         anime_sum, others = self.feature_to_anime(
@@ -158,12 +169,27 @@ class AnimationTask:
                 )
             video_path = None
             if save_video:
+                render_sources = [{
+                    "title": f"infer: {name}",
+                    face_type: animes,
+                    "tslist": tslist,
+                }]
+                # colormapped latent/input tracks (reference eval_utils.py:94-121)
+                if kwargs.get("draw_latent"):
+                    from .utils import visualizer
+
+                    for key, title in (("inputs", "inputs"), ("latent", "latent")):
+                        data = others.get(key)
+                        if data is None:
+                            continue
+                        if key == "inputs":  # (W, T, F, C) → mel channel
+                            imgs = [visualizer.color_mapping(w[:, :, 0].T) for w in data]
+                        else:  # (W, D) latent → one column per window
+                            imgs = [visualizer.color_mapping(w.reshape(-1, 1)) for w in data]
+                        render_sources.append({"title": title, "images": np.asarray(imgs),
+                                               "tslist": tslist})
                 video_path = viewer.render_video(
-                    sources=[{
-                        "title": f"infer: {name}",
-                        face_type: animes,
-                        "tslist": tslist,
-                    }],
+                    sources=render_sources,
                     video_fps=fps, audio_sr=44100,
                     video_path=out_base + ".avi",
                     grid_w=grid_w, grid_h=grid_h,

@@ -118,10 +118,11 @@ def frames_to_meshes(data_frames: np.ndarray, face_data_type) -> Tuple[np.ndarra
     n = len(data_frames)
     if face_data_type == FaceDataType.dgrad_3d:
         solver = get_solver()
-        dgrad = data_frames.reshape(n, -1, 9)
-        assert dgrad.shape[1] == solver.n_tris, (
-            f"dgrad frame must have {solver.n_tris * 9} floats"
+        assert data_frames.shape[-1] == solver.n_tris * 9, (
+            f"dgrad frame must have {solver.n_tris * 9} floats, "
+            f"got {data_frames.shape[-1]}"
         )
+        dgrad = data_frames.reshape(n, -1, 9)
         out = np.asarray(solver.solve(dgrad))
         return out, faces
     if face_data_type == FaceDataType.verts_off_3d:

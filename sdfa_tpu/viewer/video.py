@@ -67,10 +67,10 @@ def render_video(
                 frames_imgs.append(render_mesh(vi, faces, (grid_h, grid_w)))
         elif "images" in src:
             imgs = np.asarray(src["images"])
+            src_ts = np.asarray(src.get("tslist", np.arange(len(imgs)) * 1000.0 / video_fps))
             for ts in ts_queries:
-                idx = min(int(ts * video_fps / 1000.0), len(imgs) - 1)
-                img = imgs[idx]
-                frames_imgs.append(cv2.resize(img, (grid_w, grid_h)))
+                idx = int(np.clip(np.searchsorted(src_ts, ts, "right") - 1, 0, len(imgs) - 1))
+                frames_imgs.append(cv2.resize(imgs[idx], (grid_w, grid_h)))
         else:
             frames_imgs = [np.zeros((grid_h, grid_w, 3), np.uint8)] * n_frames
         title = src.get("title", "")
