@@ -320,6 +320,56 @@ class ConvTranspose1d(_Ext):
         return self.ext_post(out, training)
 
 
+class ConvTranspose2d(_Ext):
+    in_channels: int = 0
+    out_channels: int = 0
+    kernel_size: Any = 1
+    stride: Any = 1
+    padding: Union[str, int] = "same"
+    output_padding: int = 0
+    dilation: Any = 1
+    groups: int = 1
+    bias: bool = True
+    want_size: Optional[Any] = None
+    init_method: str = "kaiming"
+    init_nonlinearity: Optional[str] = None
+    weight_norm: bool = False
+    bn_axis = 1
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = self.ext_prev(x, training)
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        dh, dw = _pair(self.dilation)
+        fan_in = self.in_channels * kh * kw // self.groups
+        kernel = _weight_param(
+            self, "kernel", (self.in_channels, self.out_channels // self.groups, kh, kw),
+            fan_in=fan_in, fan_out=self.out_channels * kh * kw // self.groups,
+            init_method=self.init_method, init_nonlinearity=self.init_nonlinearity,
+            weight_norm=self.weight_norm, norm_axes=(1, 2, 3),
+        )
+        out = jax.lax.conv_general_dilated(
+            x, jnp.flip(kernel, axis=(-1, -2)).transpose(1, 0, 2, 3),
+            window_strides=(1, 1),
+            padding=[(dh * (kh - 1), dh * (kh - 1) + self.output_padding),
+                     (dw * (kw - 1), dw * (kw - 1) + self.output_padding)],
+            lhs_dilation=(sh, sw),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=_PREC,
+        )
+        if self.bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = out + b[None, :, None, None]
+        if self.want_size is not None and isinstance(self.padding, str):
+            wh, ww = self.want_size
+            lo_h, hi_h = fn.get_pad_tuple(wh, kh, sh, dh, self.padding)
+            lo_w, hi_w = fn.get_pad_tuple(ww, kw, sw, dw, self.padding)
+            out = out[:, :, lo_h : out.shape[-2] - hi_h, lo_w : out.shape[-1] - hi_w]
+        return self.ext_post(out, training)
+
+
 class Pool1d(nn.Module):
     mode: str = "max"
     kernel_size: int = 2

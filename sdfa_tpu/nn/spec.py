@@ -52,6 +52,9 @@ _REGISTRY: Dict[str, Tuple[Any, List[str], bool]] = {
     "conv2d": (layers.Conv2d,
                ["in_channels", "out_channels", "kernel_size", "stride", "padding",
                 "dilation", "groups", "bias"], True),
+    "deconv2d": (layers.ConvTranspose2d,
+                 ["in_channels", "out_channels", "kernel_size", "stride", "padding",
+                  "output_padding", "dilation", "groups", "bias", "want_size"], True),
     "deconv1d": (layers.ConvTranspose1d,
                  ["in_channels", "out_channels", "kernel_size", "stride", "padding",
                   "output_padding", "dilation", "groups", "bias", "want_size"], True),
