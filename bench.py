@@ -60,7 +60,7 @@ def main():
     # a serving batch of BENCH_CLIPS clips runs through the full pipeline in
     # one jitted call — batching amortizes per-call dispatch and fills the MXU.
     seconds = float(os.environ.get("BENCH_SECONDS", 4.0))
-    n_clips = int(os.environ.get("BENCH_CLIPS", 16))
+    n_clips = int(os.environ.get("BENCH_CLIPS", 32))
     root = _ensure_pca("/tmp/bench_assets")
     hp = configure("dgrad", dataset_root=root)
     model = build_model(hp, load_pca=True)

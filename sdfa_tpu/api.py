@@ -56,29 +56,45 @@ def train_model(
     exp = Experiment(hp, model, log_dir=log_dir, training=True, load_from=load_path)
 
     bs = int(hp.trainer.anime_loader.batch_size)
+    # the collated batch is 2·bs (adjacent-frame doubling) and must divide
+    # the device mesh; round bs up so sharding is even (e.g. 50 → 52 on 8)
+    n_dev = jax.device_count()
+    if (2 * bs) % n_dev:
+        bs = ((2 * bs + n_dev - 1) // n_dev * n_dev + 1) // 2
+        if (2 * bs) % n_dev:
+            bs = ((2 * bs) // n_dev + 1) * n_dev // 2
+        log.info(f"batch_size rounded to {bs} for even sharding over {n_dev} devices")
 
-    def train_loader():
-        it = train_set.batches(bs)
-        if max_steps is None:
-            yield from it
-        else:
-            for i, b in enumerate(it):
-                if i >= max_steps:
-                    break
-                yield b
+    multiple_workers = bool(hp.trainer.anime_loader.get("multiple_workers", False))
+    if multiple_workers and max_steps is None:
+        from .data.prefetch import PrefetchLoader
 
-    class _Loader:
-        def __init__(self, fn):
-            self.fn = fn
+        n_workers = max((os.cpu_count() or 2) // 2, 1)
+        train_loader = PrefetchLoader(train_set, bs, num_workers=n_workers)
+        valid_loader = PrefetchLoader(valid_set, bs, num_workers=max(n_workers // 2, 1),
+                                      shuffle=False)
+    else:
+        def _train_gen():
+            it = train_set.batches(bs)
+            if max_steps is None:
+                yield from it
+            else:
+                for i, b in enumerate(it):
+                    if i >= max_steps:
+                        break
+                    yield b
 
-        def __iter__(self):
-            return self.fn()
+        class _Loader:
+            def __init__(self, fn):
+                self.fn = fn
 
-    trainer = Trainer(
-        exp,
-        train_loader=_Loader(train_loader),
-        valid_loader=_Loader(lambda: valid_set.batches(bs, shuffle=False)),
-    )
+            def __iter__(self):
+                return self.fn()
+
+        train_loader = _Loader(_train_gen)
+        valid_loader = _Loader(lambda: valid_set.batches(bs, shuffle=False))
+
+    trainer = Trainer(exp, train_loader=train_loader, valid_loader=valid_loader)
     trainer.train()
     return exp
 

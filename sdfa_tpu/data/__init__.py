@@ -1,9 +1,10 @@
-from . import csvio, features_host, synthetic
+from . import csvio, features_host, prefetch, synthetic
 from .sliding_window import DatasetSlidingWindow
 from .speech_anime import SpeechAnimeDataset
 
 __all__ = [
     "csvio",
+    "prefetch",
     "features_host",
     "synthetic",
     "DatasetSlidingWindow",

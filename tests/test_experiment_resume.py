@@ -1,0 +1,97 @@
+"""Experiment checkpoint/resume + Trainer hook registry tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from sdfa_tpu.train import Experiment, Trainer
+from sdfa_tpu.utils.config import ConfigDict
+
+
+def _tiny_hp():
+    from test_model_and_losses import _tiny_model  # noqa
+
+    return ConfigDict(dict(
+        audio=dict(feature=dict(sliding_window_frames=8, with_delta=True),
+                   mel=dict(n_mels=16), sample_rate=8000),
+        anime=dict(fps=60, feature=dict(ts_delta=100)),
+        loss=dict(ploss_scale=1, mloss_scale=1, eloss_scale=1,
+                  dynamic_scalar=True, anime_loss_weight=None),
+        optim=dict(name="Adam", args=dict(lr=1e-3, weight_decay=0), lr_scheduler=None),
+        trainer=dict(max_epochs=1, save_gap_epochs=1, valid_gap_epochs=0,
+                     reference_metric="ploss", reference_metric_larger=False),
+        dataset_anime=dict(speakers=dict(m0=0), emotions=dict(neutral=0)),
+        model=dict(face_data_type="dgrad_3d", prediction_type="face_data"),
+    ))
+
+
+def _batch(bsz=8):
+    rng = np.random.default_rng(0)
+    return {
+        "audio_feat": rng.normal(size=(bsz, 8, 16, 3)).astype(np.float32),
+        "speaker_id": np.zeros((bsz,), np.int32),
+        "dgrad_3d_scale": rng.normal(0, 0.01, (bsz, 1, 10, 6)).astype(np.float32),
+        "dgrad_3d_rotat": rng.normal(0, 0.01, (bsz, 1, 10, 3)).astype(np.float32),
+        "anime_weight": np.ones((bsz,), np.float32),
+    }
+
+
+class TestResume:
+    def test_train_save_resume(self, tmp_path):
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        trainer = Trainer(exp, train_loader=[_batch() for _ in range(3)])
+        trainer.train()
+        step1 = int(jax.device_get(exp.state.step))
+        assert step1 == 3
+        assert os.path.exists(str(tmp_path / "run" / "last.ckpt"))
+
+        # resume in a fresh Experiment (restart-after-crash story,
+        # SURVEY.md §5 "Recovery = restart with --load_from last.ckpt")
+        exp2 = Experiment(hp, model, log_dir=str(tmp_path / "run2"), training=True,
+                          load_from=str(tmp_path / "run" / "last.ckpt"))
+        assert int(jax.device_get(exp2.state.step)) == step1
+        assert exp2.epoch == 1
+        p1 = jax.tree_util.tree_leaves(jax.device_get(exp.state.params))[0]
+        p2 = jax.tree_util.tree_leaves(jax.device_get(exp2.state.params))[0]
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+        # scaler EMA state survives
+        assert float(exp2.state.scalers["dyn_p_scale"].beta_t) < 1.0
+
+        # and training continues from there
+        hp.trainer.set_key("max_epochs", 2)
+        trainer2 = Trainer(exp2, train_loader=[_batch() for _ in range(2)])
+        trainer2.train()
+        assert int(jax.device_get(exp2.state.step)) == step1 + 2
+
+
+class TestHooks:
+    def test_hook_registry_fires(self, tmp_path):
+        from test_model_and_losses import _tiny_model
+
+        calls = []
+
+        @Trainer.register_hook("prev_epoch")
+        def on_prev_epoch(exp, **kw):
+            calls.append(("prev_epoch", kw.get("epoch")))
+
+        @Trainer.register_hook("post_train")
+        def on_post_train(exp, **kw):
+            calls.append(("post_train", kw.get("epoch")))
+
+        try:
+            hp = _tiny_hp()
+            model = _tiny_model()
+            exp = Experiment(hp, model, log_dir=str(tmp_path / "h"), training=True)
+            Trainer(exp, train_loader=[_batch()]).train()
+            assert ("prev_epoch", 0) in calls
+            assert ("post_train", 0) in calls
+        finally:
+            Trainer._hooks["prev_epoch"].remove(on_prev_epoch)
+            Trainer._hooks["post_train"].remove(on_post_train)

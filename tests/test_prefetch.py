@@ -1,0 +1,30 @@
+"""Multiprocess prefetch loader tests (fork workers; numpy-only inside)."""
+
+import numpy as np
+import pytest
+
+from sdfa_tpu.data import DatasetSlidingWindow
+from sdfa_tpu.data.prefetch import PrefetchLoader
+from sdfa_tpu.tools import configure
+
+from test_data_pipeline import hp, synth_root  # fixtures
+
+
+class TestPrefetch:
+    def test_batches_arrive_and_match_schema(self, hp):
+        ds = DatasetSlidingWindow(hp, training=False)
+        loader = PrefetchLoader(ds, batch_size=4, num_workers=2, shuffle=False)
+        batches = []
+        for b in loader:
+            batches.append(b)
+            if len(batches) >= 3:
+                break
+        assert len(batches) == 3
+        for b in batches:
+            assert b["audio_feat"].shape == (8, 64, 128, 3)
+            assert b["dgrad_3d_scale"].shape == (8, 1, 9976, 6)
+
+    def test_len(self, hp):
+        ds = DatasetSlidingWindow(hp, training=False)
+        loader = PrefetchLoader(ds, batch_size=7, num_workers=1)
+        assert len(loader) == len(ds) // 7
