@@ -23,6 +23,21 @@ from .precision import MODEL_PREC as _PREC
 
 _SCAN_UNROLL = 1  # >1 balloons compile time over the remote tunnel without speedup
 
+# Fused Pallas sequence kernel (ops/pallas_lstm.py): weights + state resident
+# in VMEM, double-buffered input streaming — opt-in while being qualified on
+# real hardware.
+import os as _os
+
+_USE_PALLAS = _os.environ.get("SDFA_PALLAS_LSTM", "0") == "1"
+
+
+def _run_lstm(x_proj, w_hh, bias_sum, hidden_size, reverse=False):
+    if _USE_PALLAS and jax.default_backend() == "tpu":
+        from ..ops.pallas_lstm import lstm_sequence_pallas
+
+        return lstm_sequence_pallas(x_proj, w_hh, bias_sum, reverse=reverse)
+    return _lstm_scan(x_proj, w_hh, bias_sum, hidden_size, reverse=reverse)
+
 
 def _lstm_scan(x_proj, w_hh, b, hidden_size: int, reverse: bool = False):
     """x_proj: (B, T, 4H) precomputed input projection; returns (B, T, H).
@@ -166,8 +181,8 @@ class LSTM(_RNNBase):
                 w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
                 x_proj = jnp.matmul(out, w_ih, precision=_PREC)
                 bias_sum = None if b is None else (b[0] + b[1])
-                outs.append(_lstm_scan(x_proj, w_hh, bias_sum, self.hidden_size,
-                                       reverse=bool(direction)))
+                outs.append(_run_lstm(x_proj, w_hh, bias_sum, self.hidden_size,
+                                      reverse=bool(direction)))
             out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
             if layer < self.num_layers - 1:
                 out = self._layer_dropout(out, training)
