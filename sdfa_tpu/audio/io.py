@@ -16,6 +16,30 @@ from . import dsp
 def load(path: str, sr: Optional[int] = None) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in (".wav", ".wave"):
+        # video/compressed sources (reference eval accepts mp4,
+        # eval_utils.py:50-91) need ffmpeg to demux
+        if not shutil.which("ffmpeg"):
+            raise ValueError(
+                f"cannot load '{ext}' audio without ffmpeg; provide a wav"
+            )
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tmp:
+            tmp_path = tmp.name
+        try:
+            subprocess.run(
+                ["ffmpeg", "-y", "-i", path, "-ac", "1", "-f", "wav", tmp_path],
+                check=True, capture_output=True,
+            )
+            return load(tmp_path, sr=sr)
+        finally:
+            os.unlink(tmp_path)
+
     orig_sr, data = wavfile.read(path)
     if data.dtype == np.int16:
         signal = data.astype(np.float32) / 32768.0

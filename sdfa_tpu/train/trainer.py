@@ -389,10 +389,15 @@ class Trainer:
 
         return deco
 
-    def __init__(self, experiment: Experiment, train_loader, valid_loader=None):
+    def __init__(self, experiment: Experiment, train_loader, valid_loader=None,
+                 aux_loaders: Optional[Dict[str, Any]] = None):
         self.exp = experiment
         self.train_loader = train_loader
         self.valid_loader = valid_loader
+        # aux datasets cycle forever and contribute extra optimization steps
+        # per main batch (reference experiment.py:121-152 + trainer.py:283-315)
+        self.aux_loaders = aux_loaders or {}
+        self._aux_iters: Dict[str, Any] = {}
         hp_tr = experiment.hp.trainer
         self.max_epochs = int(hp_tr.get("max_epochs", 100))
         self.save_gap_epochs = hp_tr.get("save_gap_epochs")
@@ -462,6 +467,21 @@ class Trainer:
         except Exception as exc:
             log.warn(f"mid-training evaluate failed: {exc}")
 
+    def _next_aux(self, name: str):
+        """Cycling iterator over an aux loader (experiment.py:121-152)."""
+        it = self._aux_iters.get(name)
+        if it is None:
+            it = iter(self.aux_loaders[name])
+            self._aux_iters[name] = it
+        try:
+            return next(it)
+        except StopIteration:
+            self._aux_iters[name] = iter(self.aux_loaders[name])
+            try:
+                return next(self._aux_iters[name])
+            except StopIteration:
+                return None
+
     def _is_better(self, value: float) -> bool:
         if self.best_metric is None:
             return True
@@ -480,6 +500,16 @@ class Trainer:
                 exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
             )
             device_metrics.append(metrics)
+            for name in self.aux_loaders:
+                aux_batch = self._next_aux(name)
+                if aux_batch is None:
+                    continue
+                lr, b1 = exp.current_lr()
+                exp.rng, aux_rng = jax.random.split(exp.rng)
+                aux_batch = mesh_lib.shard_batch(exp.mesh, aux_batch)
+                exp.state, _ = exp.train_step_fn(
+                    exp.state, aux_batch, aux_rng, jnp.asarray(lr), jnp.asarray(b1)
+                )
             count += 1
             if count % 50 == 0:
                 step_now = int(jax.device_get(exp.state.step))

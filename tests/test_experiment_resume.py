@@ -95,3 +95,19 @@ class TestHooks:
         finally:
             Trainer._hooks["prev_epoch"].remove(on_prev_epoch)
             Trainer._hooks["post_train"].remove(on_post_train)
+
+
+class TestAuxLoaders:
+    def test_aux_loader_cycles(self, tmp_path):
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        hp.trainer.set_key("max_epochs", 1)
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "aux"), training=True)
+        # 3 main batches + a 1-batch aux loader that must cycle 3 times
+        trainer = Trainer(exp, train_loader=[_batch() for _ in range(3)],
+                          aux_loaders={"speech": [_batch()]})
+        trainer.train()
+        # 3 main + 3 aux steps
+        assert int(jax.device_get(exp.state.step)) == 6
