@@ -85,6 +85,36 @@ def mloss(pred, true, weights, *, is_dgrad: bool, is_face_data: bool) -> jnp.nda
     return jnp.mean(loss * half_weights)
 
 
+def ploss_flat(pred_flat, true_flat, weights, *, group: int,
+               exp_values: bool = False) -> jnp.ndarray:
+    """Layout-safe dgrad PLoss on flat (N, L, tris·k) tensors.
+
+    Identity used: sum over the k-wide last dim then mean over tris
+    == sum over the flat dim ÷ n_tris — avoids materializing the
+    (…, tris, k) layout (128-lane padding) in forward AND backward.
+    """
+    p, t = (jnp.exp(pred_flat), jnp.exp(true_flat)) if exp_values else (pred_flat, true_flat)
+    n_tris = pred_flat.shape[-1] // group
+    per = jnp.sum((p - t) ** 2, axis=-1) / n_tris  # (N, L)
+    while per.ndim > 1:
+        per = per.mean(-1)
+    return jnp.mean(per * weights)
+
+
+def mloss_flat(pred_flat, true_flat, weights, *, group: int,
+               exp_values: bool = False) -> jnp.ndarray:
+    bhs = pred_flat.shape[0] // 2
+    p, t = (jnp.exp(pred_flat), jnp.exp(true_flat)) if exp_values else (pred_flat, true_flat)
+    n_tris = pred_flat.shape[-1] // group
+    mp = p[bhs:] - p[:bhs]
+    mt = t[bhs:] - t[:bhs]
+    per = jnp.sum((mp - mt) ** 2, axis=-1) / n_tris
+    while per.ndim > 1:
+        per = per.mean(-1)
+    half_weights = weights[bhs:] + weights[:bhs]
+    return jnp.mean(per * half_weights)
+
+
 def eloss(evector: jnp.ndarray) -> jnp.ndarray:
     """Embedding-consistency loss (criterion.py:76-87)."""
     bhs = evector.shape[0] // 2

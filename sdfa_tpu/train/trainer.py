@@ -99,13 +99,19 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
             true_s = batch[f"dgrad_3d_scale{postfix}"]
             true_r = batch[f"dgrad_3d_rotat{postfix}"]
             if is_face_data:
-                # model outputs are flat (layout-safe); losses reduce per-tri
-                pred_s = pred_s.reshape(pred_s.shape[:2] + (-1, 6))
-                pred_r = pred_r.reshape(pred_r.shape[:2] + (-1, 3))
-            ps = L.ploss(pred_s, true_s, weights, **kw)
-            ms = L.mloss(pred_s, true_s, weights, **kw)
-            pr = L.ploss(pred_r, true_r, weights, **kw)
-            mr = L.mloss(pred_r, true_r, weights, **kw)
+                # stay in the flat layout (no (…, tris, k) padded temps in
+                # fwd/bwd): sum-over-k-then-mean-over-tris == flat-sum ÷ tris
+                true_s = true_s.reshape(true_s.shape[:2] + (-1,))
+                true_r = true_r.reshape(true_r.shape[:2] + (-1,))
+                ps = L.ploss_flat(pred_s, true_s, weights, group=6)
+                ms = L.mloss_flat(pred_s, true_s, weights, group=6)
+                pr = L.ploss_flat(pred_r, true_r, weights, group=3, exp_values=True)
+                mr = L.mloss_flat(pred_r, true_r, weights, group=3, exp_values=True)
+            else:
+                ps = L.ploss(pred_s, true_s, weights, **kw)
+                ms = L.mloss(pred_s, true_s, weights, **kw)
+                pr = L.ploss(pred_r, true_r, weights, **kw)
+                mr = L.mloss(pred_r, true_r, weights, **kw)
             scalars.update(scalar_ps=ps, scalar_ms=ms, scalar_pr=pr, scalar_mr=mr,
                            scalar_ploss=ps + pr, scalar_mloss=ms + mr)
             if dyn:

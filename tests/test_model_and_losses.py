@@ -160,3 +160,24 @@ class TestLosses:
         st = ScalerState.init()
         scaled, _ = dynamic_scale(jnp.asarray(3.0), st, training=False)
         assert float(scaled) == pytest.approx(3.0, rel=1e-5)  # scale 1.0
+
+
+class TestFlatLossParity:
+    """ploss_flat/mloss_flat must equal the (…, tris, k) reference math."""
+
+    def test_flat_equals_shaped(self):
+        from sdfa_tpu.models.losses import mloss_flat, ploss_flat
+
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.uniform(0.5, 2.0, (4,)), jnp.float32)
+        for group, exp_vals in ((6, False), (3, True)):
+            pred = jnp.asarray(rng.normal(0, 0.1, (4, 1, 10, group)), jnp.float32)
+            true = jnp.asarray(rng.normal(0, 0.1, (4, 1, 10, group)), jnp.float32)
+            ref_p = ploss(pred, true, w, is_dgrad=True, is_face_data=exp_vals)
+            ref_m = mloss(pred, true, w, is_dgrad=True, is_face_data=exp_vals)
+            pf = pred.reshape(4, 1, -1)
+            tf = true.reshape(4, 1, -1)
+            out_p = ploss_flat(pf, tf, w, group=group, exp_values=exp_vals)
+            out_m = mloss_flat(pf, tf, w, group=group, exp_values=exp_vals)
+            assert float(out_p) == pytest.approx(float(ref_p), rel=1e-5)
+            assert float(out_m) == pytest.approx(float(ref_m), rel=1e-5)
