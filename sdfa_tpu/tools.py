@@ -23,8 +23,9 @@ from .utils.config import ConfigDict
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIG_ROOT = os.path.join(REPO_ROOT, "configs")
-FLAME_TEMPLATE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "data", "vocaset", "assets", "FLAME_sample.ply"
+# canonical template asset (read-only reference checkout)
+FLAME_TEMPLATE = (
+    "/root/reference/speech_anime/datasets/vocaset/template/FLAME_sample.ply"
 )
 
 
