@@ -78,3 +78,19 @@ class TestNative:
         native.set_target(verts, faces, cnst)
         out = native.get_mesh(np.zeros(9976 * 9, np.float32), n_verts=5023)
         assert np.abs(out - verts).max() < 1e-6
+
+
+class TestSanitizeBuild:
+    def test_asan_variant_compiles(self):
+        """SURVEY.md §5 race-detection plan: ASan/UBSan build of the native
+        runtime must stay compilable."""
+        import subprocess
+
+        res = subprocess.run(
+            ["make", "-C", "/root/repo/csrc", "sanitize"],
+            capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr[-500:]
+        import os
+
+        assert os.path.exists("/root/repo/csrc/libsdfa_deformation_asan.so")
