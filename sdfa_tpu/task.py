@@ -154,8 +154,30 @@ class AnimationTask:
                 src_args = ArgumentParser(*src_args)
             path = src_args[0]
             name = os.path.splitext(os.path.basename(path))[0]
-            sound_signal, _ = audio_lib.load(path, sr=44100)
-            signal = audio_lib.dsp.resample(sound_signal, 44100, sr)
+            truth = None
+            if os.path.isdir(path):
+                # preprocessed dataset sentence dir → audio blob + truth
+                # frames (reference eval_utils._load_source dataset branch)
+                blob = np.load(path + "_audio.npz") if os.path.exists(
+                    path + "_audio.npz") else np.load(
+                    os.path.join(path, "_audio.npz"))
+                sound_signal = np.asarray(blob["audio"], np.float32)
+                src_sr = int(blob["sr"])
+                signal = (sound_signal if src_sr == sr
+                          else audio_lib.dsp.resample(sound_signal, src_sr, sr))
+                frames = sorted(f for f in os.listdir(path)
+                                if f.endswith(".npy") and "lips" not in f)
+                truth_data = np.stack(
+                    [np.load(os.path.join(path, f)) for f in frames])
+                truth = dict(
+                    title="truth",
+                    tslist=[i * 1000.0 / fps for i in range(len(frames))],
+                )
+                truth[face_type] = truth_data
+                sound_signal = audio_lib.dsp.resample(sound_signal, src_sr, 44100)
+            else:
+                sound_signal, _ = audio_lib.load(path, sr=44100)
+                signal = audio_lib.dsp.resample(sound_signal, 44100, sr)
             signal = audio_lib.rms.normalize(signal, audio_target_db)
             speaker = src_args["speaker"] or 0
             log.info(f"infer from {name}")
@@ -169,11 +191,14 @@ class AnimationTask:
                 )
             video_path = None
             if save_video:
-                render_sources = [{
+                render_sources = []
+                if truth is not None and kwargs.get("draw_truth", True):
+                    render_sources.append(truth)
+                render_sources.append({
                     "title": f"infer: {name}",
                     face_type: animes,
                     "tslist": tslist,
-                }]
+                })
                 # colormapped latent/input tracks (reference eval_utils.py:94-121)
                 if kwargs.get("draw_latent"):
                     from .utils import visualizer

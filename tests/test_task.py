@@ -71,3 +71,27 @@ class TestAnimationTask:
         ts_a, a, _ = task.generate_animation(sig, speaker="m0")
         ts_b, b, _ = task.generate_animation(sig, speaker=0)
         np.testing.assert_array_equal(a, b)
+
+
+class TestDatasetDirSource:
+    def test_truth_track_from_dataset_dir(self, task, tmp_path):
+        """Directory eval source → truth frames + audio blob loaded
+        (reference eval_utils._load_source dataset branch)."""
+        import os
+        import numpy as np
+
+        d = str(tmp_path / "sent001")
+        os.makedirs(d)
+        # 6 fake 60fps dgrad frames (tiny model dim: 10 tris → 90 floats)
+        for i in range(6):
+            np.save(os.path.join(d, f"{i:06d}.npy"),
+                    np.zeros(90, np.float32))
+        sig = (0.1 * np.sin(2 * np.pi * 200 * np.arange(8000) / 8000)).astype(np.float32)
+        np.savez(d + "_audio.npz", sr=8000, start_ts=0.0, audio=sig)
+
+        results = task.evaluate(
+            [(d, "speaker=m0")], output_dir=str(tmp_path / "out"),
+            save_video=False, export_mesh_frames=False,
+        )
+        assert len(results) == 1
+        assert results[0]["animes"].shape[1] == 90
