@@ -65,8 +65,16 @@ def train_model(
             bs = ((2 * bs) // n_dev + 1) * n_dev // 2
         log.info(f"batch_size rounded to {bs} for even sharding over {n_dev} devices")
 
+    # raw mode (default): host ships raw windows + augmentation knobs, the
+    # mel pipeline runs on device (data/device_features.py) — ~10× cheaper
+    # host prep on this single-CPU image; set trainer.host_features=true to
+    # use the bit-exact host feature path instead
+    raw_mode = not bool(hp.trainer.get("host_features", False))
+    batches_fn = (lambda ds, **kw: ds.raw_batches(bs, **kw)) if raw_mode else (
+        lambda ds, **kw: ds.batches(bs, **kw))
+
     multiple_workers = bool(hp.trainer.anime_loader.get("multiple_workers", False))
-    if multiple_workers and max_steps is None:
+    if multiple_workers and max_steps is None and not raw_mode:
         from .data.prefetch import PrefetchLoader
 
         n_workers = max((os.cpu_count() or 2) // 2, 1)
@@ -75,7 +83,7 @@ def train_model(
                                       shuffle=False)
     else:
         def _train_gen():
-            it = train_set.batches(bs)
+            it = batches_fn(train_set)
             if max_steps is None:
                 yield from it
             else:
@@ -92,7 +100,7 @@ def train_model(
                 return self.fn()
 
         train_loader = _Loader(_train_gen)
-        valid_loader = _Loader(lambda: valid_set.batches(bs, shuffle=False))
+        valid_loader = _Loader(lambda: batches_fn(valid_set, shuffle=False))
 
     trainer = Trainer(exp, train_loader=train_loader, valid_loader=valid_loader)
     trainer.train()

@@ -226,6 +226,140 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         return ret
 
     # ------------------------------------------------------------------
+    # raw mode: host does RNG + wav slicing + target loads only; the mel
+    # pipeline + augmentations run on device (data/device_features.py)
+    # ------------------------------------------------------------------
+    def raw_item(self, i_frame: int) -> dict:
+        from . import device_features as dfeat
+
+        j_frame = i_frame + 1
+        if (
+            j_frame == len(self.coordinates)
+            or self.coordinates[i_frame]["data_id"] != self.coordinates[j_frame]["data_id"]
+        ):
+            j_frame = i_frame
+            i_frame = j_frame - 1
+        i_info = self.coordinates[i_frame]
+        j_info = self.coordinates[j_frame]
+        data_id = i_info["data_id"]
+        l0, r0 = i_info["range"]
+        l1, r1 = j_info["range"]
+        shift = 0
+        if self.training:
+            max_shift = int(self._time_shifting * self._sr)
+            shift = int(self._rng.integers(-max_shift, max_shift + 1))
+        l0, r0, l1, r1 = l0 + shift, r0 + shift, l1 + shift, r1 + shift
+
+        info = self.info_list[data_id]
+        data_path = info["npy_data_path:path"]
+        blob = self._load_audio_blob(data_path)
+        sr = int(blob["sr"])
+        signal = blob["audio"]
+        if self.training:
+            avail = [k for k in _SOURCE_KEYS if k in blob]
+            signal = blob[str(self._rng.choice(avail))]
+        assert sr == self._sr, "raw mode requires dataset sr == config sr"
+
+        hop = int(self._mel_cfg["hop_size"])
+        ext = dfeat.MAX_EX_TIME * hop
+        wav0 = features_host.slice_window(signal, l0 - ext, r0 + ext)
+        wav1 = features_host.slice_window(signal, l1 - ext, r1 + ext)
+
+        rng = self._rng
+        fc = self.hparams.audio.feature
+        n_mels = int(self._mel_cfg["n_mels"])
+        preemph = float(self._mel_cfg.get("preemphasis", 0.0) or 0.0)
+        et, f_variant = 0, dfeat.freq_variant_index(0, False, False, "constant")
+        feat_scale = np.ones(n_mels, np.float32)
+        drop_rows = np.zeros(n_mels, np.float32)
+        drop_is_max, drop_thres = 0.0, 0.0
+        if self.training:
+            if fc.get("random_noise"):
+                if rng.choice(["none", "white"]) == "white":
+                    scale = rng.uniform(fc.random_noise / 5, fc.random_noise)
+                    wav0 = wav0 + rng.normal(0, scale, len(wav0)).astype(np.float32)
+                    wav1 = wav1 + rng.normal(0, scale, len(wav1)).astype(np.float32)
+            if fc.get("random_preemph"):
+                preemph = float(rng.uniform(0, fc.random_preemph))
+            if fc.get("random_mel_extra") is not None:
+                max_ef, max_et = fc.random_mel_extra
+                ef = int(rng.integers(-abs(max_ef), abs(max_ef) + 1))
+                et = int(rng.integers(-abs(max_et), abs(max_et) + 1))
+                f_variant = dfeat.freq_variant_index(
+                    ef,
+                    bool(rng.uniform() < 0.5),
+                    bool(rng.uniform() < 0.5),
+                    str(rng.choice(["reflect", "constant"])),
+                )
+            if fc.get("random_mel_scale") is not None:
+                scale = np.sin(
+                    np.linspace(0, 2 * np.pi, num=n_mels)
+                    * rng.uniform(-np.pi / 2, np.pi / 2) + rng.uniform(0, np.pi)
+                ) * fc.random_mel_scale
+                feat_scale = np.exp(scale).astype(np.float32)
+            if fc.get("random_mel_dropout") is not None:
+                frac = float(rng.uniform(0, fc.random_mel_dropout))
+                if frac > 0:
+                    mask_len = max(1, int(frac * n_mels))
+                    drop_rows[rng.choice(np.arange(n_mels), mask_len)] = 1.0
+                    drop_is_max = float(rng.choice([0.0, 1.0]))
+                    drop_thres = float(rng.uniform(0.3, 0.6))
+
+        ret = dict(
+            speaker_id=self.get_speaker_id(info["speaker:str"]),
+            emotion_id=self.get_emotion_id(info["emotion:str"]),
+            raw_wav_0=wav0, raw_wav_1=wav1,
+            preemph=np.float32(preemph),
+            t_idx=np.int32(et + dfeat.MAX_EX_TIME),
+            f_idx=np.int32(f_variant),
+            feat_scale=feat_scale,
+            drop_rows=drop_rows,
+            drop_is_max=np.float32(drop_is_max),
+            drop_thres=np.float32(drop_thres),
+        )
+        anime0, ret["anime_weight_0"] = self._anime_target(info, data_path, l0, r0)
+        anime1, ret["anime_weight_1"] = self._anime_target(info, data_path, l1, r1)
+        if self._face_type == "dgrad_3d":
+            anime0 = anime0.reshape(-1, 9)
+            anime1 = anime1.reshape(-1, 9)
+            ret["dgrad_3d_scale_0"] = anime0[None, :, :6]
+            ret["dgrad_3d_rotat_0"] = anime0[None, :, 6:]
+            ret["dgrad_3d_scale_1"] = anime1[None, :, :6]
+            ret["dgrad_3d_rotat_1"] = anime1[None, :, 6:]
+        else:
+            ret["verts_off_3d_0"] = anime0.reshape(1, -1)
+            ret["verts_off_3d_1"] = anime1.reshape(1, -1)
+        return ret
+
+    @staticmethod
+    def collate_raw(batch: List[dict]) -> Dict[str, np.ndarray]:
+        """Doubled-batch collation for raw items (knobs shared by the pair)."""
+        out: Dict[str, List] = {}
+        shared = ("speaker_id", "emotion_id", "preemph", "t_idx", "f_idx",
+                  "feat_scale", "drop_rows", "drop_is_max", "drop_thres")
+        for flag in (0, 1):
+            for item in batch:
+                for key, val in item.items():
+                    if key.endswith(f"_{flag}"):
+                        out.setdefault(key[:-2], []).append(val)
+        stacked = {k: np.stack(v) for k, v in out.items()}
+        for key in shared:
+            vals = [item[key] for item in batch] * 2
+            stacked[key] = np.stack(vals)
+        stacked["speaker_id"] = stacked["speaker_id"].astype(np.int32)
+        return stacked
+
+    def raw_batches(self, batch_size: int, shuffle: Optional[bool] = None,
+                    drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        shuffle = self.training if shuffle is None else shuffle
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            idx = order[i : i + batch_size]
+            yield self.collate_raw([self.raw_item(int(j)) for j in idx])
+
+    # ------------------------------------------------------------------
     @staticmethod
     def collate(batch: List[dict]) -> Dict[str, np.ndarray]:
         """Double the batch: first half = frame i, second = frame i+1

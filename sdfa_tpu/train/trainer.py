@@ -67,23 +67,43 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
     m_scale = float(hp_loss.get("mloss_scale", 1))
     weight_key = hp_loss.get("anime_loss_weight")
 
+    feat_spec = None
+    try:
+        from ..data.device_features import FeatureSpec
+
+        feat_spec = FeatureSpec.from_hparams(hparams)
+    except Exception:
+        pass  # hparams without audio config (unit tests)
+
     def loss_fn(params, batch_stats, constants, scalers, batch, rng, training: bool):
         variables = {"params": params, "batch_stats": batch_stats, "constants": constants}
         rngs = {"dropout": rng}
+        if "raw_wav" in batch:
+            # on-device feature pipeline (data/device_features.py): the host
+            # ships raw windows + augmentation knobs only
+            from ..data.device_features import device_train_features
+
+            audio_feat = device_train_features(
+                batch["raw_wav"], batch["preemph"], batch["t_idx"],
+                batch["f_idx"], batch["feat_scale"], batch["drop_rows"],
+                batch["drop_is_max"], batch["drop_thres"], spec=feat_spec,
+            )
+        else:
+            audio_feat = batch["audio_feat"]
         if training:
             (preds, z_audio, aligns), mutated = model.apply(
-                variables, batch["audio_feat"], batch["speaker_id"],
+                variables, audio_feat, batch["speaker_id"],
                 training=True, mutable=["batch_stats"], rngs=rngs,
             )
             new_stats = mutated["batch_stats"]
         else:
             preds, z_audio, aligns = model.apply(
-                variables, batch["audio_feat"], batch["speaker_id"],
+                variables, audio_feat, batch["speaker_id"],
                 training=False, rngs=rngs,
             )
             new_stats = batch_stats
 
-        bsz = batch["audio_feat"].shape[0]
+        bsz = audio_feat.shape[0]
         weights = batch.get(weight_key) if weight_key else None
         if weights is None:
             weights = jnp.ones((bsz,), jnp.float32)
