@@ -51,6 +51,7 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         self._time_shifting = 0.5 / self._fps
         self._rng = np.random.default_rng(hparams.get("seed", 1234) + int(training))
         self._audio_cache: Dict[str, dict] = {}
+        self._frame_stores: Dict[str, tuple] = {}
 
         # window coordinates (sliding_window.py:44-61)
         self.coordinates: List[dict] = []
@@ -137,6 +138,34 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         # (3, F, T) → (T, F, 3) — model input layout (api.py:108)
         return np.transpose(feat, (2, 1, 0)), wav, random_args
 
+    def _frame_store(self, data_path: str, minfi: int, maxfi: int):
+        """Consolidated memmap of a sentence's target frames + lip distances.
+
+        The reference loads two %06d.npy files per window per item
+        (sliding_window.py:205-240) — with dgrad frames that is ~1.4 MB of
+        fresh file I/O per load. We consolidate once into <dir>_frames.npy
+        (+ _lips.npy) and serve zero-copy memmap slices afterwards.
+        """
+        store = self._frame_stores.get(data_path)
+        if store is None:
+            frames_path = data_path + "_frames.npy"
+            lips_path = data_path + "_lips.npy"
+            if not (os.path.exists(frames_path) and os.path.exists(lips_path)):
+                frames = np.stack([
+                    np.load(os.path.join(data_path, f"{i:06d}.npy"))
+                    for i in range(minfi, maxfi + 1)
+                ])
+                lips = np.asarray([
+                    np.load(os.path.join(data_path, f"{i:06d}_lips_dist.npy"))
+                    for i in range(minfi, maxfi + 1)
+                ], np.float32)
+                np.save(frames_path, frames.astype(np.float32))
+                np.save(lips_path, lips)
+            store = (np.load(frames_path, mmap_mode="r"),
+                     np.load(lips_path, mmap_mode="r"), minfi)
+            self._frame_stores[data_path] = store
+        return store
+
     def _anime_target(self, info, data_path, shifted_l, shifted_r):
         """(sliding_window.py:205-240)."""
         start_ts = float(info["start_ts:float"])
@@ -152,14 +181,9 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
             lower = upper = maxfi
         a = float(pos - lower) if upper != lower else 0.0
 
-        def frame(i):
-            return np.load(os.path.join(data_path, f"{i:06d}.npy"))
-
-        def lips(i):
-            return np.load(os.path.join(data_path, f"{i:06d}_lips_dist.npy"))
-
-        feat = frame(lower) * (1.0 - a) + frame(upper) * a
-        dist = lips(lower) * (1.0 - a) + lips(upper) * a
+        frames, lips, base = self._frame_store(data_path, minfi, maxfi)
+        feat = frames[lower - base] * (1.0 - a) + frames[upper - base] * a
+        dist = lips[lower - base] * (1.0 - a) + lips[upper - base] * a
         weight = np.exp((0.002 - dist) * 50.0) * 2.0
         return feat.astype(np.float32), np.float32(weight)
 
