@@ -233,3 +233,61 @@ class TestSolver:
         g[:, 7] = wvec[:, 1]
         g[:, 8] = -wvec[:, 0]
         return g
+
+
+class TestCorrespondence:
+    """Triangle-correspondence fan-out (cross-topology retargeting,
+    deform_triangle_impl.hpp:246-269): equation table vs the f64 oracle."""
+
+    @pytest.fixture(scope="class")
+    def small(self):
+        # small synthetic mesh: grid of triangles
+        import numpy as np
+
+        n = 6
+        xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        verts = np.stack([xs.ravel(), ys.ravel(), 0.02 * np.sin(xs.ravel() * 6)], 1)
+        faces = []
+        for r in range(n - 1):
+            for c in range(n - 1):
+                a = r * n + c
+                faces.append([a, a + 1, a + n])
+                faces.append([a + 1, a + n + 1, a + n])
+        return verts, np.asarray(faces, np.int64)
+
+    def test_fanout_matches_host(self, small):
+        verts, faces = small
+        nf = len(faces)
+        rng = np.random.default_rng(0)
+        # triangle i ← 2 sources for even i, none for every 5th, else 1
+        corr_count, corr_faces = [], []
+        for i in range(nf):
+            if i % 5 == 4:
+                corr_count.append(0)
+                corr_faces.append(0)
+            elif i % 2 == 0:
+                corr_count.append(2)
+                corr_faces.extend([i, (i + 3) % nf])
+            else:
+                corr_count.append(1)
+                corr_faces.append(i)
+        cnst = np.asarray([0, 1, 2, 3, 4, 5])
+        solver = DeformationSolver(verts, faces, cnst_indices=cnst,
+                                   corr_count=corr_count, corr_faces=corr_faces)
+        assert solver.n_eqs == sum(max(1, c) for c in corr_count)
+        d = rng.uniform(-0.05, 0.05, (nf, 9))
+        ours = np.asarray(solver.solve(d.astype(np.float32)))
+        oracle = solver.solve_host(d)
+        err = np.abs(ours - oracle).max()
+        assert err < 1e-4, f"corres fan-out err {err}"
+
+    def test_identity_corres_equals_plain(self, small):
+        verts, faces = small
+        nf = len(faces)
+        cnst = np.asarray([0, 1, 2])
+        plain = DeformationSolver(verts, faces, cnst_indices=cnst)
+        ident = DeformationSolver(verts, faces, cnst_indices=cnst,
+                                  corr_count=[1] * nf, corr_faces=list(range(nf)))
+        d = np.random.default_rng(1).uniform(-0.03, 0.03, (nf, 9)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(plain.solve(d)),
+                                   np.asarray(ident.solve(d)), atol=1e-5)
