@@ -14,6 +14,31 @@ from sdfa_tpu.data.vocaset import preload
 FLAME_PLY = vc.TEMPLATE_PLY
 
 
+class TestLogMMSE:
+    def test_short_signal_passthrough(self):
+        sig = np.random.default_rng(0).normal(0, 0.1, 500).astype(np.float32)
+        out = preload.denoise_logmmse(sig, 22050)
+        np.testing.assert_array_equal(out, sig)
+
+    def test_reduces_noise_floor_keeps_speech(self):
+        sr = 16000
+        rng = np.random.default_rng(1)
+        n = 2 * sr
+        noise = rng.normal(0, 0.02, n).astype(np.float32)
+        tone = np.zeros(n, np.float32)
+        t = np.arange(sr) / sr
+        tone[sr // 2 : sr // 2 + sr] = 0.4 * np.sin(2 * np.pi * 220 * t) * np.hanning(sr)
+        sig = tone + noise
+        out = preload.denoise_logmmse(sig, sr)
+        assert out.shape == sig.shape and out.dtype == np.float32
+        # noise-only head (first 0.3 s) is attenuated
+        head = slice(0, int(0.3 * sr))
+        assert np.sqrt((out[head] ** 2).mean()) < 0.5 * np.sqrt((sig[head] ** 2).mean())
+        # speech region keeps most of its energy
+        mid = slice(int(0.8 * sr), int(1.2 * sr))
+        assert np.sqrt((out[mid] ** 2).mean()) > 0.5 * np.sqrt((sig[mid] ** 2).mean())
+
+
 @pytest.fixture(scope="module")
 def fake_voca(tmp_path_factory):
     """Build root/audio/<alias>/sentenceNN.wav + unposedcleaneddata +
