@@ -180,5 +180,21 @@ def trace_model(
         fp.write(lowered.as_text())
     with open(os.path.join(out, "compile_info.txt"), "w") as fp:
         fp.write(str(compiled.cost_analysis()))
+    hp.dump(os.path.join(out, "hparams.json"))
     log.info(f"traced artifacts dumped to {out}")
     return compiled
+
+
+def load_traced(dump_dir: str, **task_kwargs) -> AnimationTask:
+    """Rebuild an inference-ready AnimationTask from a trace_model dump
+    (the deployment counterpart of the reference's traced-model loading,
+    api.py:169-197): hparams.json + model.msgpack are self-contained."""
+    import flax.serialization as fser
+
+    from .utils.config import ConfigDict
+
+    hp = ConfigDict.parse_file(os.path.join(dump_dir, "hparams.json"))
+    with open(os.path.join(dump_dir, "model.msgpack"), "rb") as fp:
+        variables = fser.msgpack_restore(fp.read())
+    model = build_model(hp, load_pca=False)
+    return AnimationTask(hp, model, variables, **task_kwargs)

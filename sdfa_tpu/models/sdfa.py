@@ -223,7 +223,10 @@ def _interleave_perm(n_tris: int):
         perm[9 * j + k] = 6 * j + k
     for k in range(3):
         perm[9 * j + 6 + k] = 6 * n_tris + 3 * j + k
-    return jnp.asarray(perm)
+    # cache numpy, NOT jnp: under an active jit trace jnp.asarray returns a
+    # tracer, and an lru_cache'd tracer leaks into the next trace
+    # (UnexpectedTracerError); a numpy constant stages identically.
+    return perm
 
 
 def _npy_loader(*paths):

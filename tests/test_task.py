@@ -95,3 +95,57 @@ class TestDatasetDirSource:
         )
         assert len(results) == 1
         assert results[0]["animes"].shape[1] == 90
+
+
+class TestTracedRoundTrip:
+    def test_load_traced_matches_live_model(self, tmp_path):
+        """hparams.json + model.msgpack (the trace_model dump format) must
+        rebuild a task whose outputs match the live model bit-for-bit."""
+        import os
+
+        import flax.serialization as fser
+
+        from sdfa_tpu import api
+        from sdfa_tpu.models import build_model
+
+        hp = _tiny_hparams()
+        enc = [
+            ["permute", [0, 3, 2, 1]],
+            ["conv2d", 3, 4, [3, 1], [1, 1], "act=lrelu@a:0.2"],
+            ["pool2d", "max", [16, 1]],
+            ["squeeze", 2],
+            ["permute", [0, 2, 1]],
+            ["lstm", 4, 8, "num_layers=1"],
+        ]
+        hp.set_key("model", ConfigDict(dict(
+            face_data_type="dgrad_3d", prediction_type="face_data",
+            weight_norm=True,
+            speaker_embedding=dict(num_speakers=2, using_onehot=True),
+            audio_encoder=dict(layers=enc),
+            output=dict(
+                using_pca=False,
+                layers=[["fc", 10, 8, "act=tanh", "cat_condition=2"]],
+                layers_scale=[["fc", 10, 8, "cat_condition=2"], ["fc", 8, 60, "act=linear"]],
+                layers_rotat=[["fc", 10, 8, "cat_condition=2"], ["fc", 8, 30, "act=linear"]],
+                output_dim_scale=60, output_dim_rotat=30,
+            ),
+        )))
+        model = build_model(hp, load_pca=False)
+        feat = jnp.zeros((2, 12, 16, 3))
+        spk = jnp.zeros((2,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, feat, spk, False)
+
+        dump = str(tmp_path / "traced")
+        os.makedirs(dump)
+        hp.dump(os.path.join(dump, "hparams.json"))
+        with open(os.path.join(dump, "model.msgpack"), "wb") as fp:
+            fp.write(fser.to_bytes(jax.device_get(variables)))
+
+        task = api.load_traced(dump, batch_windows=8)
+        feats = np.random.default_rng(3).normal(size=(5, 12, 16, 3)).astype(np.float32)
+        got, _ = task.feature_to_anime(feats, speaker_id=1)
+
+        ref_task = AnimationTask(hp, model, variables, batch_windows=8)
+        want, _ = ref_task.feature_to_anime(feats, speaker_id=1)
+        np.testing.assert_array_equal(got, want)
