@@ -29,12 +29,20 @@ def main():
     parser.add_argument("--source_root", type=str, default=None,
                         help="raw VOCASET download root (preprocess)")
     parser.add_argument("--face_type", type=str, default="dgrad_3d")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler device trace of a few "
+                             "warm train steps into this dir")
     args = parser.parse_args()
 
     overrides = json.loads(args.overrides) if args.overrides else None
     if args.tag:
         overrides = dict(overrides or {})
         overrides["tag"] = args.tag
+    if args.profile_dir:
+        overrides = dict(overrides or {})
+        overrides.setdefault("trainer", {})
+        overrides["trainer"] = dict(overrides["trainer"], profile=dict(
+            dir=args.profile_dir, start_step=10, num_steps=5))
 
     if args.mode == "train":
         from .api import train_model

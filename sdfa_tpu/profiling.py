@@ -33,6 +33,22 @@ def trace(log_dir: str = "/tmp/sdfa_profile"):
         log.info(f"profiler trace written to {log_dir}")
 
 
+def start_trace(log_dir: str = "/tmp/sdfa_profile") -> str:
+    """Imperative variant of :func:`trace` for open-ended capture windows
+    (used by the trainer's `trainer.profile` hparam)."""
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    jax.profiler.start_trace(log_dir)
+    return log_dir
+
+
+def stop_trace() -> None:
+    import jax
+
+    jax.profiler.stop_trace()
+
+
 def cost_analysis(fn, *example_args) -> Dict[str, Any]:
     """AOT-compile ``fn`` and return XLA's flops/bytes estimates."""
     import jax

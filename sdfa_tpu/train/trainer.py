@@ -434,6 +434,14 @@ class Trainer:
         self.grad_clip = hp_tr.get("grad_clip")
         self.plot_gap_steps = int(hp_tr.get("plot_gap_steps", 0) or 0)
         self.eval_gap_epochs = int(hp_tr.get("eval_gap_epochs", 0) or 0)
+        # device-trace capture window (SURVEY §5 tracing; jax.profiler):
+        # trainer.profile = {dir, start_step=10, num_steps=5}
+        prof = hp_tr.get("profile") or {}
+        self.profile_dir = prof.get("dir") if prof else None
+        self.profile_start = int(prof.get("start_step", 10) or 0) if prof else 0
+        self.profile_steps = int(prof.get("num_steps", 5) or 5) if prof else 0
+        self._steps_seen = 0
+        self._prof_active = False
 
     def _run_hooks(self, point: str, **kwargs):
         for fn in self._hooks[point]:
@@ -519,6 +527,12 @@ class Trainer:
         count = 0
         self._run_hooks("prev_train", epoch=exp.epoch)
         for batch in self.train_loader:
+            if (self.profile_dir and not self._prof_active
+                    and self._steps_seen == self.profile_start):
+                from .. import profiling
+
+                profiling.start_trace(self.profile_dir)
+                self._prof_active = True
             lr, b1 = exp.current_lr()
             exp.rng, step_rng = jax.random.split(exp.rng)
             batch = mesh_lib.shard_batch(exp.mesh, batch)
@@ -537,6 +551,16 @@ class Trainer:
                     exp.state, aux_batch, aux_rng, jnp.asarray(lr), jnp.asarray(b1)
                 )
             count += 1
+            self._steps_seen += 1
+            if (self._prof_active
+                    and self._steps_seen >= self.profile_start + self.profile_steps):
+                from .. import profiling
+
+                jax.device_get(metrics)  # drain async dispatch into the trace
+                profiling.stop_trace()
+                self._prof_active = False
+                self.profile_dir = None  # one capture window per run
+                log.info("profiler trace captured")
             if count % 50 == 0:
                 step_now = int(jax.device_get(exp.state.step))
                 vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -550,6 +574,18 @@ class Trainer:
                     int(jax.device_get(exp.state.step)),
                 )
         self._run_hooks("post_train", epoch=exp.epoch)
+        if self._prof_active:  # run ended inside the capture window — flush
+            from .. import profiling
+
+            profiling.stop_trace()
+            self._prof_active = False
+            self.profile_dir = None
+            log.info("profiler trace captured (flushed at epoch end)")
+        elif self.profile_dir and self._steps_seen <= self.profile_start:
+            log.warn(
+                f"profile window never opened: start_step="
+                f"{self.profile_start} but only {self._steps_seen} steps ran"
+            )
         if not device_metrics:
             return {}
         host = jax.device_get(device_metrics)

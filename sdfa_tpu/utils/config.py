@@ -53,8 +53,13 @@ class ConfigDict(dict):
     def __getattr__(self, name):
         try:
             return self[name]
-        except KeyError as exc:  # pragma: no cover
-            raise AttributeError(name) from exc
+        except KeyError as exc:
+            # name the siblings so a config typo is diagnosable from the
+            # message alone (e.g. "audio.feature missing" vs bare "name")
+            raise AttributeError(
+                f"config key '{name}' not found; available keys: "
+                f"{sorted(self.keys())}"
+            ) from exc
 
     def __setattr__(self, name, value):
         raise AttributeError(

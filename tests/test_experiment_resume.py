@@ -111,3 +111,26 @@ class TestAuxLoaders:
         trainer.train()
         # 3 main + 3 aux steps
         assert int(jax.device_get(exp.state.step)) == 6
+
+
+class TestProfileWindow:
+    def test_trace_captured_during_training(self, tmp_path):
+        """trainer.profile hparam captures a jax.profiler trace of warm steps
+        (SURVEY §5 tracing — the TPU-native equivalent)."""
+        import glob
+
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        prof_dir = str(tmp_path / "prof")
+        hp.trainer.set_key("profile",
+                           dict(dir=prof_dir, start_step=1, num_steps=2))
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        trainer = Trainer(exp, train_loader=[_batch() for _ in range(4)])
+        trainer.train()
+        assert not trainer._prof_active
+        traces = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                           recursive=True) + glob.glob(
+            os.path.join(prof_dir, "**", "*.trace.json.gz"), recursive=True)
+        assert traces, f"no profiler artifacts under {prof_dir}"
