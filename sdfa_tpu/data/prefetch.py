@@ -90,7 +90,20 @@ class PrefetchLoader:
         received = 0
         try:
             while received < len(batches):
-                bid, payload = result_q.get()
+                try:
+                    bid, payload = result_q.get(timeout=5.0)
+                except queue_mod.Empty:
+                    # a forked worker can die without reporting (e.g. fork
+                    # while a parent thread held an allocator lock) — fail
+                    # loudly instead of blocking forever
+                    dead = [w.pid for w in workers if not w.is_alive()]
+                    if len(dead) == len(workers):
+                        raise RuntimeError(
+                            f"all {len(workers)} prefetch workers died "
+                            f"(pids {dead}) with {len(batches) - received} "
+                            f"batches outstanding"
+                        )
+                    continue
                 received += 1
                 if isinstance(payload, Exception):
                     raise RuntimeError(f"prefetch worker failed on batch {bid}") from payload

@@ -46,6 +46,11 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         self._frames = int(feat_cfg.sliding_window_frames)
         self._sliding_size = mel_cfg["hop_size"] * (self._frames - 1) + mel_cfg["win_size"]
         self._fps = float(hparams.anime.fps)
+        # trainer.compact_targets: ship anime targets to the device as f16
+        # (halves the dominant host→device payload; the loss casts back to
+        # f32 — see DESIGN.md §9 "target-payload compression")
+        tr_cfg = hparams.get("trainer") or {}
+        self._compact_targets = bool(tr_cfg.get("compact_targets", False))
         self._face_type = hparams.model.face_data_type
         self._ts_delta = float(hparams.anime.feature.ts_delta)
         self._time_shifting = 0.5 / self._fps
@@ -381,7 +386,15 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
             self._rng.shuffle(order)
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
             idx = order[i : i + batch_size]
-            yield self.collate_raw([self.raw_item(int(j)) for j in idx])
+            yield self._maybe_compact(
+                self.collate_raw([self.raw_item(int(j)) for j in idx]))
+
+    def _maybe_compact(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self._compact_targets:
+            for key in list(batch):
+                if key.startswith(self._face_type) and batch[key].dtype == np.float32:
+                    batch[key] = batch[key].astype(np.float16)
+        return batch
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -411,7 +424,7 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
             self._rng.shuffle(order)
         for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
             idx = order[i : i + batch_size]
-            yield self.collate([self[int(j)] for j in idx])
+            yield self._maybe_compact(self.collate([self[int(j)] for j in idx]))
 
     # ------------------------------------------------------------------
     @classmethod

@@ -116,8 +116,9 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
         if is_dgrad:
             pred_s = preds[f"dgrad_3d_scale{postfix}"]
             pred_r = preds[f"dgrad_3d_rotat{postfix}"]
-            true_s = batch[f"dgrad_3d_scale{postfix}"]
-            true_r = batch[f"dgrad_3d_rotat{postfix}"]
+            # f32 cast is a no-op unless trainer.compact_targets shipped f16
+            true_s = jnp.asarray(batch[f"dgrad_3d_scale{postfix}"], jnp.float32)
+            true_r = jnp.asarray(batch[f"dgrad_3d_rotat{postfix}"], jnp.float32)
             if is_face_data:
                 # stay in the flat layout (no (…, tris, k) padded temps in
                 # fwd/bwd): sum-over-k-then-mean-over-tris == flat-sum ÷ tris
@@ -148,7 +149,7 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
                                   loss_pr=pr * p_scale, loss_mr=mr * m_scale)
         else:
             pred = preds[f"{model.face_type}{postfix}"]
-            true = batch[f"{model.face_type}{postfix}"]
+            true = jnp.asarray(batch[f"{model.face_type}{postfix}"], jnp.float32)
             pl = L.ploss(pred, true, weights, **kw)
             ml = L.mloss(pred, true, weights, **kw)
             scalars.update(scalar_ploss=pl, scalar_mloss=ml)

@@ -100,3 +100,53 @@ class TestDevicePipelineParity:
         np.testing.assert_allclose(a, b, atol=2e-3)
         # the mel channel (not deltas) should be extremely close
         np.testing.assert_allclose(a[..., 0], b[..., 0], atol=2e-4)
+
+
+class TestCompactTargets:
+    def test_f16_targets_only_when_enabled(self, hp, synth_root):
+        from sdfa_tpu.tools import configure
+
+        ds32 = DatasetSlidingWindow(hp, training=True)
+        b32 = next(ds32.raw_batches(2))
+        assert b32["dgrad_3d_scale"].dtype == np.float32
+
+        hp16 = configure("dgrad", dataset_root=synth_root,
+                         overrides={"trainer": {"compact_targets": True}})
+        ds16 = DatasetSlidingWindow(hp16, training=True)
+        b16 = next(ds16.raw_batches(2))
+        assert b16["dgrad_3d_scale"].dtype == np.float16
+        assert b16["dgrad_3d_rotat"].dtype == np.float16
+        # non-target arrays untouched
+        assert b16["raw_wav"].dtype == np.float32
+        # payload actually halves for the target arrays
+        assert b16["dgrad_3d_scale"].nbytes * 2 == b32["dgrad_3d_scale"].nbytes
+
+    def test_loss_close_to_f32(self):
+        """f16 targets change the loss only at f16 resolution."""
+        import jax
+        import jax.numpy as jnp
+
+        from test_experiment_resume import _tiny_hp, _batch
+        from test_model_and_losses import _tiny_model
+        from sdfa_tpu.train.trainer import make_loss_fn
+        from sdfa_tpu.models import ScalerState
+
+        hp = _tiny_hp()
+        model = _tiny_model()
+        batch32 = _batch()
+        feat = jnp.asarray(batch32["audio_feat"])
+        spk = jnp.asarray(batch32["speaker_id"])
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, feat, spk, False)
+        loss_fn = make_loss_fn(model, hp)
+        scalers = {n: ScalerState.init() for n in
+                   ("dyn_p_scale", "dyn_m_scale", "dyn_p_rotat", "dyn_m_rotat", "dyn_e")}
+        batch16 = dict(batch32,
+                       dgrad_3d_scale=batch32["dgrad_3d_scale"].astype(np.float16),
+                       dgrad_3d_rotat=batch32["dgrad_3d_rotat"].astype(np.float16))
+        args = (variables["params"], variables.get("batch_stats", {}),
+                variables.get("constants", {}), scalers)
+        rng = jax.random.PRNGKey(2)
+        t32, _ = loss_fn(*args, batch32, rng, False)
+        t16, _ = loss_fn(*args, batch16, rng, False)
+        assert abs(float(t32) - float(t16)) < 2e-3 * max(1.0, abs(float(t32)))
