@@ -28,3 +28,32 @@ class TestPrefetch:
         ds = DatasetSlidingWindow(hp, training=False)
         loader = PrefetchLoader(ds, batch_size=7, num_workers=1)
         assert len(loader) == len(ds) // 7
+
+
+class _SuicidalDataset:
+    """Worker calls __getitem__ → os._exit: simulates a silently-dying fork."""
+    training = False
+    _rng = None
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        import os
+        os._exit(1)
+
+    @staticmethod
+    def collate(items):
+        return items
+
+
+class TestWorkerDeath:
+    def test_dead_workers_raise_instead_of_hanging(self):
+        import time
+
+        loader = PrefetchLoader(_SuicidalDataset(), batch_size=2, num_workers=2)
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="prefetch workers died"):
+            for _ in loader:
+                pass
+        assert time.time() - t0 < 60  # liveness poll, not a hang
