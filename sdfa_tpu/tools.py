@@ -89,9 +89,14 @@ def configure(
         # stale evaluate list is dropped (reference tools/config.py:43-44)
         hp.overwrite_by(custom)
 
-    # dataset hparams file selected by name
-    ds_name = (hp.get("dataset_anime") or {}).get("name")
-    if ds_name:
+    # dataset hparams file selected by name (reference resolves both
+    # dataset_anime and dataset_speech this way, tools/config.py:49-50;
+    # dataset_speech is vestigial there — resolved but never consumed —
+    # and our aux_loaders machinery is the consumer here)
+    for ds_key in ("dataset_anime", "dataset_speech"):
+        ds_name = (hp.get(ds_key) or {}).get("name")
+        if not ds_name:
+            continue
         ds_path = os.path.join(CONFIG_ROOT, "data", ds_name + ".py")
         if os.path.exists(ds_path):
             hp.overwrite_by(ConfigDict.parse_file(ds_path))
