@@ -32,6 +32,20 @@ def main():
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of a few "
                              "warm train steps into this dir")
+    # evaluate options (reference __main__.py:14-33)
+    parser.add_argument("--ensembling_ms", type=int, default=None,
+                        help="overwrite 'ensembling_ms'")
+    parser.add_argument("--save_video", action=argparse.BooleanOptionalAction,
+                        default=True)
+    parser.add_argument("--export_mesh_frames",
+                        action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--draw_latent", action="store_true")
+    parser.add_argument("--grid_w", type=int, default=512)
+    parser.add_argument("--grid_h", type=int, default=512)
+    # deformation asset overrides (reference __main__.py:15-17)
+    parser.add_argument("--template_mesh", type=str, default=None)
+    parser.add_argument("--mesh_constraints", type=str, default=None)
+    parser.add_argument("--mesh_tricorres", type=str, default=None)
     args = parser.parse_args()
 
     overrides = json.loads(args.overrides) if args.overrides else None
@@ -58,6 +72,16 @@ def main():
     elif args.mode == "evaluate":
         from .api import evaluate_model
 
+        if args.ensembling_ms is not None:
+            overrides = dict(overrides or {}, ensembling_ms=args.ensembling_ms)
+        if args.template_mesh or args.mesh_constraints or args.mesh_tricorres:
+            from .viewer import frame as frame_mod
+
+            frame_mod.set_template_mesh(
+                template_path=args.template_mesh,
+                constraints_path=args.mesh_constraints,
+                corres_path=args.mesh_tricorres,
+            )
         evaluate_model(
             custom_hparams=args.custom_hparams,
             load_from=args.load_from,
@@ -66,6 +90,11 @@ def main():
             output_dir=args.output_dir,
             dataset_root=args.dataset_root,
             overrides=overrides,
+            save_video=args.save_video,
+            export_mesh_frames=args.export_mesh_frames,
+            draw_latent=args.draw_latent,
+            grid_w=args.grid_w,
+            grid_h=args.grid_h,
         )
     elif args.mode == "trace":
         from .api import trace_model

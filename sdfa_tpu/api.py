@@ -124,8 +124,9 @@ def evaluate_model(
         )
 
     model = build_model(hp, load_pca=False)
-    exp = Experiment(hp, model,
-                     log_dir=output_dir or "evaluate_results/_state",
+    # keep Experiment bookkeeping out of the eval artifact dir
+    state_dir = os.path.join(output_dir or "evaluate_results", "_state")
+    exp = Experiment(hp, model, log_dir=state_dir,
                      training=False, load_from=load_from)
     variables = {
         "params": jax.device_get(exp.state.params),
