@@ -49,3 +49,23 @@ def visualize_dataset(
         )
         log.info(f"wrote {path}")
     return out_dir
+
+
+def main():
+    import argparse
+
+    parser = argparse.ArgumentParser("sdfa_tpu.visualize")
+    parser.add_argument("--dataset_root", required=True)
+    parser.add_argument("--face_type", default="dgrad_3d")
+    parser.add_argument("--manifest", default="train.csv")
+    parser.add_argument("--out_dir", default=None)
+    parser.add_argument("--max_items", type=int, default=4)
+    parser.add_argument("--fps", type=float, default=60.0)
+    args = parser.parse_args()
+    visualize_dataset(args.dataset_root, face_type=args.face_type,
+                      manifest=args.manifest, out_dir=args.out_dir,
+                      max_items=args.max_items, fps=args.fps)
+
+
+if __name__ == "__main__":
+    main()
