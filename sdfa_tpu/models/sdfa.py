@@ -176,11 +176,18 @@ class SpeechDrivenAnimation(nn.Module):
                 # 6/3 would be padded to 128 lanes on TPU (14-42× memory)
                 x_scale = self.scale_pca(x_scale)
                 x_rotat = self.rotat_pca(x_rotat)
+            elif self.using_pca and self.is_initializing():
+                # pca_* prediction types skip the inversion in forward, but
+                # decode_to_anime still needs its constants — materialize
+                self.scale_pca(x_scale)
+                self.rotat_pca(x_rotat)
             preds[f"dgrad_3d_scale{postfix}"] = x_scale
             preds[f"dgrad_3d_rotat{postfix}"] = x_rotat
         else:
             if self.using_pca and not self.return_pca:
                 x = self.pca(x)
+            elif self.using_pca and self.is_initializing():
+                self.pca(x)
             preds[f"{self.face_type}{postfix}"] = x
 
         return preds, z_audio, align_dict

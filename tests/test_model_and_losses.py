@@ -11,7 +11,7 @@ from sdfa_tpu.models.sdfa import PcaInversion, SpeakerEmbedding, SpeechDrivenAni
 from sdfa_tpu.nn import freeze_specs
 
 
-def _tiny_model(face_type="dgrad_3d", using_pca=True):
+def _tiny_model(face_type="dgrad_3d", using_pca=True, pred_type="face_data"):
     enc = [
         ("permute", (0, 3, 2, 1)),
         ("conv2d", 3, 4, (3, 1), (1, 1), "act=lrelu@a:0.2"),
@@ -28,7 +28,7 @@ def _tiny_model(face_type="dgrad_3d", using_pca=True):
         encoder_specs=freeze_specs(enc),
         output_specs=freeze_specs(trunk),
         face_type=face_type,
-        pred_type="face_data",
+        pred_type=pred_type,
         using_pca=using_pca,
         weight_norm=True,
         num_speakers=2,
@@ -181,3 +181,43 @@ class TestFlatLossParity:
             out_m = mloss_flat(pf, tf, w, group=group, exp_values=exp_vals)
             assert float(out_p) == pytest.approx(float(ref_p), rel=1e-5)
             assert float(out_m) == pytest.approx(float(ref_m), rel=1e-5)
+
+
+class TestPcaPredictionTypes:
+    """pred_type=pca_coeffs/pca_normal: the net outputs PCA coefficients
+    directly; loss compares in PCA space; decode applies the inversion
+    (reference PredictionType, tools/data_type.py:37-41)."""
+
+    @pytest.mark.parametrize("pred_type", ["pca_coeffs", "pca_normal"])
+    def test_forward_loss_decode(self, pred_type):
+        from sdfa_tpu.train.trainer import make_loss_fn
+        from test_experiment_resume import _tiny_hp
+
+        model = _tiny_model(pred_type=pred_type)
+        feat = jnp.zeros((2, 8, 16, 3))
+        spk = jnp.zeros((2,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(1)}, feat, spk, False)
+        preds, _, _ = model.apply(variables, feat, spk, False)
+        assert set(preds) == {"dgrad_3d_scale_pca", "dgrad_3d_rotat_pca"}
+        assert preds["dgrad_3d_scale_pca"].shape[-1] == 5  # coeff space
+
+        anime = model.decode_to_anime(variables, preds)
+        assert anime.shape[-1] == 90  # decoded to full dgrad
+
+        hp = _tiny_hp()
+        loss_fn = make_loss_fn(model, hp)
+        rng = np.random.default_rng(0)
+        batch = {
+            "audio_feat": np.zeros((2, 8, 16, 3), np.float32),
+            "speaker_id": np.zeros((2,), np.int32),
+            "dgrad_3d_scale_pca": rng.normal(size=(2, 1, 5)).astype(np.float32),
+            "dgrad_3d_rotat_pca": rng.normal(size=(2, 1, 5)).astype(np.float32),
+            "anime_weight": np.ones((2,), np.float32),
+        }
+        scalers = {n: ScalerState.init() for n in
+                   ("dyn_p_scale", "dyn_m_scale", "dyn_p_rotat", "dyn_m_rotat", "dyn_e")}
+        total, aux = loss_fn(variables["params"], variables.get("batch_stats", {}),
+                             variables.get("constants", {}), scalers, batch,
+                             jax.random.PRNGKey(1), False)
+        assert np.isfinite(float(total))
