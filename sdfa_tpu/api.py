@@ -82,15 +82,15 @@ def train_model(
         valid_loader = PrefetchLoader(valid_set, bs, num_workers=max(n_workers // 2, 1),
                                       shuffle=False)
     else:
+        steps_done = {"n": 0}  # max_steps caps the whole run, not per epoch
+
         def _train_gen():
             it = batches_fn(train_set)
-            if max_steps is None:
-                yield from it
-            else:
-                for i, b in enumerate(it):
-                    if i >= max_steps:
-                        break
-                    yield b
+            for b in it:
+                if max_steps is not None and steps_done["n"] >= max_steps:
+                    break
+                steps_done["n"] += 1
+                yield b
 
         class _Loader:
             def __init__(self, fn):

@@ -99,8 +99,15 @@ def run_plot_plugins(summary: "SummaryHelper", experiment, batch, outputs, step:
 # -- shipped plugins (speech_anime/model/logger.py:14-103 equivalents) --------
 @register_plot
 def plot_input_features(summary, experiment, batch, outputs, step):
-    feats = np.asarray(batch.get("audio_feat"))[:1]  # (1, T, F, C)
-    if feats is None or feats.ndim != 4:
+    # raw-mode batches carry raw_wav only; plot_forward returns the
+    # featurized audio_feat in outputs instead
+    feats = batch.get("audio_feat")
+    if feats is None and isinstance(outputs, dict):
+        feats = outputs.get("audio_feat")
+    if feats is None:
+        return
+    feats = np.asarray(feats)[:1]  # (1, T, F, C)
+    if feats.ndim != 4:
         return
     from ..utils import visualizer
 

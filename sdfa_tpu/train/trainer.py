@@ -299,14 +299,35 @@ class Experiment:
         self._metrics_fp = open(os.path.join(log_dir, "train_log", "metrics.jsonl"), "a")
         self.summary = summary_lib.SummaryHelper(os.path.join(log_dir, "train_log", "tb"))
 
+        plot_feat_spec = None
+        try:
+            from ..data.device_features import FeatureSpec
+
+            plot_feat_spec = FeatureSpec.from_hparams(hparams)
+        except Exception:
+            pass  # hparams without audio config (unit tests)
+
         def plot_forward(state, batch, rng):
+            if "raw_wav" in batch:  # raw-mode batches (data/device_features)
+                from ..data.device_features import device_train_features
+
+                audio_feat = device_train_features(
+                    batch["raw_wav"], batch["preemph"], batch["t_idx"],
+                    batch["f_idx"], batch["feat_scale"], batch["drop_rows"],
+                    batch["drop_is_max"], batch["drop_thres"],
+                    spec=plot_feat_spec,
+                )
+                batch = dict(batch, audio_feat=audio_feat)
             preds, z, aligns = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats,
                  "constants": state.constants},
                 batch["audio_feat"], batch["speaker_id"], False,
                 rngs={"dropout": rng},
             )
-            return dict(prediction=preds, latent=z, align_dict=aligns)
+            # hand the featurized batch back too — the TB plot plugins
+            # visualize batch["audio_feat"]
+            return dict(prediction=preds, latent=z, align_dict=aligns,
+                        audio_feat=batch["audio_feat"])
 
         self.plot_forward_fn = jax.jit(plot_forward)
 
@@ -455,6 +476,10 @@ class Trainer:
             self._run_hooks("prev_epoch", epoch=exp.epoch)
             t0 = time.time()
             train_metrics = self._train_epoch()
+            if not train_metrics:
+                # empty loader (e.g. a global max_steps cap already hit)
+                log.info("no batches this epoch — stopping training")
+                break
             epoch_row = {"epoch": exp.epoch, **{f"train_{k}": v for k, v in train_metrics.items()}}
             if self.valid_loader is not None and (exp.epoch + 1) % self.valid_gap_epochs == 0:
                 valid_metrics = self._validate()
@@ -473,6 +498,7 @@ class Trainer:
                 exp.save()
             if self.eval_gap_epochs and exp.epoch % self.eval_gap_epochs == 0:
                 self._evaluate_mid_training()
+            exp.summary.flush()  # TB writers buffer; make epochs visible
             self._run_hooks("post_epoch", epoch=exp.epoch)
             log.info(
                 f"epoch {exp.epoch}/{self.max_epochs} done in {time.time()-t0:.1f}s "

@@ -134,3 +134,29 @@ class TestProfileWindow:
                            recursive=True) + glob.glob(
             os.path.join(prof_dir, "**", "*.trace.json.gz"), recursive=True)
         assert traces, f"no profiler artifacts under {prof_dir}"
+
+
+class TestPlotPlugins:
+    def test_plot_gap_steps_writes_tb_images(self, tmp_path):
+        """plot_gap_steps triggers plot_forward_fn + the shipped TB plugins
+        mid-epoch (reference trainer.py plot hooks / model/logger.py)."""
+        import glob
+
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        hp.trainer.set_key("plot_gap_steps", 2)
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        trainer = Trainer(exp, train_loader=[_batch() for _ in range(4)])
+        trainer.train()
+        events = glob.glob(str(tmp_path / "run" / "**" / "events.out.tfevents*"),
+                           recursive=True)
+        assert events, "no TB event files written"
+        # plugins ran: image summaries present in some event file
+        found = False
+        for ev in events:
+            with open(ev, "rb") as fp:
+                if b"inputs/mel" in fp.read():
+                    found = True
+        assert found, "plot plugin image tag not found in TB events"
