@@ -449,6 +449,11 @@ class Trainer:
         hp_tr = experiment.hp.trainer
         self.max_epochs = int(hp_tr.get("max_epochs", 100))
         self.save_gap_epochs = hp_tr.get("save_gap_epochs")
+        self.save_gap_steps = int(hp_tr.get("save_gap_steps", 0) or 0)
+        # reference trainer.py:59 requires exactly one cadence; we default
+        # to epoch cadence when neither is set, but reject both
+        assert not (self.save_gap_epochs and self.save_gap_steps), \
+            "set save_gap_epochs XOR save_gap_steps, not both"
         self.valid_gap_epochs = int(hp_tr.get("valid_gap_epochs", 0) or 0) or 1
         self.metric_name = hp_tr.get("reference_metric", "ploss")
         self.metric_larger = bool(hp_tr.get("reference_metric_larger", False))
@@ -579,6 +584,8 @@ class Trainer:
                 )
             count += 1
             self._steps_seen += 1
+            if self.save_gap_steps and self._steps_seen % self.save_gap_steps == 0:
+                exp.save()
             if (self._prof_active
                     and self._steps_seen >= self.profile_start + self.profile_steps):
                 from .. import profiling

@@ -160,3 +160,31 @@ class TestPlotPlugins:
                 if b"inputs/mel" in fp.read():
                     found = True
         assert found, "plot plugin image tag not found in TB events"
+
+
+class TestSaveGapSteps:
+    def test_step_cadence_checkpoints(self, tmp_path):
+        """save_gap_steps checkpoints every N optimizer steps
+        (reference trainer.py:55,356)."""
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        hp.trainer.delete_key("save_gap_epochs")
+        hp.trainer.set_key("save_gap_steps", 2)
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        Trainer(exp, train_loader=[_batch() for _ in range(5)]).train()
+        cps = sorted(f for f in os.listdir(tmp_path / "run") if f.startswith("epoch"))
+        # steps 2 and 4 checkpointed mid-epoch (+ the end-of-train save)
+        assert any("step000002" in f for f in cps)
+        assert any("step000004" in f for f in cps)
+
+    def test_both_cadences_rejected(self, tmp_path):
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        hp.trainer.set_key("save_gap_steps", 3)  # epochs cadence already set
+        model = _tiny_model()
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        with pytest.raises(AssertionError, match="XOR"):
+            Trainer(exp, train_loader=[])
