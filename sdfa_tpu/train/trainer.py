@@ -453,7 +453,9 @@ class Trainer:
         # reference trainer.py:59 requires exactly one cadence; we default
         # to epoch cadence when neither is set, but reject both
         assert not (self.save_gap_epochs and self.save_gap_steps), \
-            "set save_gap_epochs XOR save_gap_steps, not both"
+            ("set save_gap_epochs XOR save_gap_steps, not both "
+             "(the default config sets save_gap_epochs=10 — override it "
+             "with save_gap_epochs=None to use step cadence)")
         self.valid_gap_epochs = int(hp_tr.get("valid_gap_epochs", 0) or 0) or 1
         self.metric_name = hp_tr.get("reference_metric", "ploss")
         self.metric_larger = bool(hp_tr.get("reference_metric_larger", False))
