@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--draw_latent", action="store_true")
     parser.add_argument("--grid_w", type=int, default=512)
     parser.add_argument("--grid_h", type=int, default=512)
+    parser.add_argument("--font_size", type=int, default=24)
+    parser.add_argument("--overwrite_video", action=argparse.BooleanOptionalAction,
+                        default=True)
     # deformation asset overrides (reference __main__.py:15-17)
     parser.add_argument("--template_mesh", type=str, default=None)
     parser.add_argument("--mesh_constraints", type=str, default=None)
@@ -95,6 +98,8 @@ def main():
             draw_latent=args.draw_latent,
             grid_w=args.grid_w,
             grid_h=args.grid_h,
+            font_size=args.font_size,
+            overwrite_video=args.overwrite_video,
         )
     elif args.mode == "trace":
         from .api import trace_model

@@ -134,6 +134,8 @@ class AnimationTask:
         save_video: bool = True,
         grid_w: int = 512,
         grid_h: int = 512,
+        font_size: int = 24,
+        overwrite_video: bool = True,
         audio_target_db: Optional[float] = None,
         **kwargs,
     ):
@@ -190,7 +192,10 @@ class AnimationTask:
                     audio_signal=sound_signal, audio_sr=44100,
                 )
             video_path = None
-            if save_video:
+            if save_video and not overwrite_video and os.path.exists(out_base + ".avi"):
+                log.info(f"video exists, skipping: {out_base}.avi")
+                video_path = out_base + ".avi"
+            elif save_video:
                 render_sources = []
                 if truth is not None and kwargs.get("draw_truth", True):
                     render_sources.append(truth)
@@ -217,7 +222,7 @@ class AnimationTask:
                     sources=render_sources,
                     video_fps=fps, audio_sr=44100,
                     video_path=out_base + ".avi",
-                    grid_w=grid_w, grid_h=grid_h,
+                    grid_w=grid_w, grid_h=grid_h, font_size=font_size,
                     audio_signal=sound_signal,
                 )
             results.append(dict(name=name, tslist=tslist, animes=animes,
