@@ -89,10 +89,28 @@ def main():
     w_per_clip = len(starts_np)
     n_windows = n_clips * w_per_clip
 
+    # Window-overlap fast path (default): adjacent windows share 62/64
+    # frames, so the frontend + per-frame encoder prefix run once per clip
+    # on the hop grid and each window gathers its slice; only the
+    # biLSTM/attention suffix runs per window (forward_overlap, DESIGN.md
+    # §10). BENCH_OVERLAP=0 restores the exact per-window path.
+    use_overlap = os.environ.get("BENCH_OVERLAP", "1") == "1"
+    frame_idx_np, _, pad_l, pad_r, _ = wspec.frame_grid(signals.shape[1])
+    frame_idx = jnp.asarray(frame_idx_np)
+    from sdfa_tpu.models.sdfa import SpeechDrivenAnimation
+
     def one_clip(variables, consts, sig, starts):
-        feats = audio_pipeline.window_features_device(sig, starts, wspec)
-        spk = jnp.zeros((feats.shape[0],), jnp.int32)
-        preds, _, _ = model.apply(variables, feats, spk, False)
+        if use_overlap:
+            clip_feat = audio_pipeline.clip_frame_features_device(
+                sig, wspec, pad_l, pad_r)
+            spk = jnp.zeros((frame_idx.shape[0],), jnp.int32)
+            preds, _, _ = model.apply(
+                variables, clip_feat, frame_idx, spk, False,
+                method=SpeechDrivenAnimation.forward_overlap)
+        else:
+            feats = audio_pipeline.window_features_device(sig, starts, wspec)
+            spk = jnp.zeros((feats.shape[0],), jnp.int32)
+            preds, _, _ = model.apply(variables, feats, spk, False)
         anime = model.decode_to_anime(variables, preds)  # (W, 1, 89784)
         dgrad = anime[:, 0]  # flat — layout-safe
         verts = solve_fn(consts, dgrad, consts.template_cnst,

@@ -69,6 +69,91 @@ class WindowSpec:
             idx += 1.0
         return np.asarray(starts, np.int32), ts_list
 
+    # -- window-overlap fast path geometry --------------------------------
+    def frame_grid(self, n_samples: int, bucket: int = 0):
+        """Clip-level hop-grid geometry for the overlap fast path.
+
+        Adjacent sliding windows overlap by 98.6% (window 4544 samples,
+        stride sr/fps ≈ 133); recomputing the frontend + per-frame encoder
+        per window is ~30× redundant work. Instead the clip is framed ONCE
+        at hop resolution and each window gathers its 64 frames from that
+        grid, with the window start snapped to the nearest hop multiple
+        (≤ hop/2 = 32 samples = 4 ms shift — far inside the reference's own
+        ±0.5-frame train-time jitter, sliding_window.py:42,85-88).
+
+        Returns (frame_idx (W, frames) int32 into the clip frame grid,
+        ts_list, pad_left, pad_right, t_total).
+
+        ``bucket`` > 0 rounds t_total up to a bucket multiple (by extending
+        the zero right-pad — semantically the same trailing silence the
+        per-window path zero-pads with), so jit shapes recompile per length
+        bucket instead of per clip length.
+        """
+        assert self.sliding % self.hop_size == 0, (
+            "overlap fast path needs the window span to be a hop multiple"
+        )
+        starts, ts_list = self.window_starts(n_samples)
+        snapped = np.round(starts / self.hop_size).astype(np.int64) * self.hop_size
+        pad = self.sliding  # covers the most-negative start (= -sliding//2)
+        f0 = (snapped + pad) // self.hop_size
+        frame_idx = (f0[:, None] + np.arange(self.frames)[None, :]).astype(np.int32)
+        need = int(frame_idx.max()) + 1
+        # right pad so the padded signal yields >= `need` frames
+        n_min = self.win_size + self.hop_size * (need - 1)
+        pad_right = max(pad, n_min - n_samples - pad)
+        t_total = 1 + (n_samples + pad + pad_right - self.win_size) // self.hop_size
+        if bucket and t_total % bucket:
+            grow = bucket - t_total % bucket
+            t_total += grow
+            pad_right += grow * self.hop_size
+        return frame_idx, ts_list, pad, pad_right, int(t_total)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def clip_frame_features_padded(padded: jnp.ndarray, spec: WindowSpec) -> jnp.ndarray:
+    """Pre-padded signal (n + pad_left + pad_right,) → clip-level features
+    (T_total, F, 3) on the hop grid.
+
+    Padding happens outside so callers can bucket the padded length — the
+    jit then recompiles per bucket, not per clip length.
+
+    Same mel+Δ+Δ² math as window_features_device but computed once per clip
+    instead of per window. Known bounded divergences from the per-window
+    path (tests/test_overlap_path.py): preemphasis is clip-continuous
+    (per-window mode leaves each window's first sample unfiltered) and
+    Δ/Δ² see true neighbors at window edges instead of the window-local
+    Savitzky-Golay edge fit.
+    """
+    if spec.preemph:
+        padded = dsp.preemphasis(padded, spec.preemph)
+    frames = dsp.frame_signal(padded, spec.win_size, spec.hop_size)
+    frames = frames * jnp.asarray(dsp.get_window(spec.win_fn, spec.win_size))
+    cos_b, sin_b = dsp.dft_bases(spec.win_size)
+    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
+    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
+    power = re * re + im * im  # (T, freq)
+    filt = jnp.asarray(dsp.mel_filters(spec.sr, spec.win_size, spec.n_mels,
+                                       spec.fmin, spec.fmax))
+    mel = jnp.matmul(power, filt.T, precision=_PREC)  # (T, M)
+    mel = dsp.power_to_db(mel)
+    if spec.normalize:
+        mel = dsp.normalize_db(mel, spec.ref_db, spec.top_db, spec.clip)
+    feat = mel.T  # (M, T)
+    d1 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(feat.shape[-1], 1)),
+                    precision=_PREC)
+    d2 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(feat.shape[-1], 2)),
+                    precision=_PREC)
+    stacked = jnp.stack([feat, d1, d2], axis=-1)  # (M, T, 3)
+    return jnp.swapaxes(stacked, 0, 1)  # (T, M, 3)
+
+
+def clip_frame_features_device(
+    signal: jnp.ndarray, spec: WindowSpec, pad_left: int, pad_right: int
+) -> jnp.ndarray:
+    """signal (S,) → clip-level features (T_total, F, 3); pads then runs
+    clip_frame_features_padded (composable inside larger jits)."""
+    return clip_frame_features_padded(jnp.pad(signal, (pad_left, pad_right)), spec)
+
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def window_features_device(

@@ -160,7 +160,61 @@ class SpeechDrivenAnimation(nn.Module):
             audio_feat, condition=condition, training=training
         )
         align_dict.update(aligns)
+        return self._output_heads(z_audio, condition, training, align_dict)
 
+    def forward_overlap(self, clip_feat, frame_idx, speaker_id=None,
+                        training: bool = False):
+        """Window-overlap inference fast path (DESIGN.md §10).
+
+        Adjacent 64-frame sliding windows share 62 of their frames; the
+        encoder up to the first temporal layer is per-timestep (time-kernel-1
+        convs, freq-axis LSTM — proven by nn.spec.time_independent_prefix),
+        so it runs ONCE on the clip-level frame grid and each window gathers
+        its slice of the result. Only the biLSTM+attention suffix and the
+        output heads run per window.
+
+        clip_feat: (T_total, F, C) from audio.pipeline.clip_frame_features_device
+        frame_idx: (W, frames) int32 from WindowSpec.frame_grid
+        Eval-only: the per-frame prefix is window-agnostic, which would change
+        BatchNorm batch statistics under training.
+        """
+        assert not training, "overlap fast path is inference-only"
+        return self.forward_windows(self.encode_frames(clip_feat), frame_idx,
+                                    speaker_id)
+
+    def encode_frames(self, clip_feat):
+        """Per-frame encoder prefix over the clip-level frame grid:
+        (T_total, F, C) → (T_total, …) with time leading. Runs ONCE per
+        clip; windows gather from the result (forward_windows)."""
+        split, taxis = encoder_overlap_split(self.encoder_specs, self.weight_norm)
+        assert split > 0, (
+            "encoder has no time-independent prefix — use the per-window path"
+        )
+        z_frames, _ = self.audio_encoder(
+            clip_feat[None], condition=None, training=False, stop=split
+        )
+        return jnp.moveaxis(z_frames[0], taxis - 1, 0)  # time-first
+
+    def forward_windows(self, z_frames, frame_idx, speaker_id=None):
+        """Temporal suffix per window: gather each window's frame slice from
+        the clip-level prefix output, then biLSTM/attention + output heads.
+
+        z_frames: (T_total, …) from encode_frames; frame_idx: (W, frames)."""
+        split, taxis = encoder_overlap_split(self.encoder_specs, self.weight_norm)
+        align_dict: Dict[str, jnp.ndarray] = {}
+        condition = None
+        if speaker_id is not None:
+            condition = self.speaker_embedding(speaker_id)
+
+        z_windows = z_frames[frame_idx]                # (W, frames, …)
+        z_windows = jnp.moveaxis(z_windows, 1, taxis)  # batch=W, time at taxis
+        z_audio, aligns = self.audio_encoder(
+            z_windows, condition=condition, training=False, start=split
+        )
+        align_dict.update(aligns)
+        return self._output_heads(z_audio, condition, False, align_dict)
+
+    def _output_heads(self, z_audio, condition, training, align_dict):
         x, aligns = self.output_trunk(z_audio, condition=condition, training=training)
         align_dict.update(aligns)
 
@@ -219,6 +273,16 @@ class SpeechDrivenAnimation(nn.Module):
         if self.return_pca:
             return pca_apply("pca", preds[f"{self.face_type}_pca"])
         return preds[self.face_type]
+
+
+@functools.lru_cache(maxsize=None)
+def encoder_overlap_split(encoder_specs, weight_norm: bool):
+    """(prefix_len, time_axis) of the encoder's time-independent prefix —
+    static per model config, cached on the frozen spec tuple."""
+    from ..nn.spec import _thaw_spec, parse_specs, time_independent_prefix
+
+    raw = [list(_thaw_spec(s)) for s in encoder_specs]
+    return time_independent_prefix(parse_specs(raw, weight_norm))
 
 
 @functools.lru_cache(maxsize=None)

@@ -195,10 +195,19 @@ class LayerStack(nn.Module):
                 built.append(parser.ctor(**kwargs))
         self.built_layers = built
 
-    def __call__(self, x, condition=None, training: bool = False, align_dict=None):
-        history = []
+    def __call__(self, x, condition=None, training: bool = False, align_dict=None,
+                 start: int = 0, stop: Optional[int] = None):
+        """Run layers [start:stop). Subranges power the window-overlap fast
+        path: the time-independent prefix runs once per clip, the temporal
+        suffix per window (DESIGN.md §10). skip_connect history indices stay
+        absolute (history[i] = input of layer i); a skip that reaches before
+        ``start`` is rejected by ``time_independent_prefix``."""
+        history = [None] * start
         aligns = {}
-        for i, (module, parser) in enumerate(zip(self.built_layers, self.parsers)):
+        layers_and_parsers = list(zip(self.built_layers, self.parsers))
+        for i, (module, parser) in enumerate(
+            layers_and_parsers[start:stop], start=start
+        ):
             history.append(x)
             inputs = x
             cat_dim = parser.extras.get("cat_condition")
@@ -230,6 +239,107 @@ class LayerStack(nn.Module):
         if isinstance(align_dict, dict):
             align_dict.update(aligns)
         return x, aligns
+
+
+def _as_pair(v):
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def time_independent_prefix(parsers: Sequence[LayerParser]) -> Tuple[int, int]:
+    """(prefix_len, time_axis) — the leading layer run that is provably
+    independent across the time axis (each timestep computable from that
+    timestep alone, in eval mode), and where the time axis sits in the
+    prefix output.
+
+    Powers the window-overlap inference fast path: with 98.6% overlap
+    between adjacent sliding windows (SURVEY.md §7 "Hard parts" #5), the
+    per-frame prefix runs ONCE on the clip-level frame grid and windows
+    gather from its output; only the suffix (LSTM/attention — true temporal
+    coupling) runs per window.
+
+    Tracks the time-axis position through the stack, starting from the
+    model input layout (N, T, F, C). Conservative: any layer it cannot
+    prove per-timestep ends the prefix. Layers with ``cat_condition`` end
+    it too (the condition is per-window, the prefix is window-agnostic);
+    ``skip_connect`` is allowed only within the prefix."""
+    taxis = 1  # (N, T, F, C)
+    ndim = 4
+    for i, p in enumerate(parsers):
+        if "cat_condition" in p.extras:
+            return i, taxis
+        skip = p.extras.get("skip_connect")
+        if isinstance(skip, int) and not (0 <= skip < i):
+            return i, taxis
+        name = p.name
+        if name == "permute":
+            dims = p.kwargs.get("dims")
+            if dims is None or len(dims) != ndim:
+                return i, taxis
+            taxis = list(dims).index(taxis)
+        elif name in ("conv2d", "pool2d"):
+            # layout (N, C, H, W): spatial axes 2, 3
+            if ndim != 4 or taxis in (0, 1):
+                return i  # conv over channels mixes time when taxis==1
+            k = _as_pair(p.kwargs.get("kernel_size", 1))
+            s = _as_pair(p.kwargs.get("stride", k if name == "pool2d" else 1))
+            d = _as_pair(p.kwargs.get("dilation", 1))
+            j = taxis - 2
+            if k[j] != 1 or s[j] != 1 or (name == "conv2d" and d[j] != 1):
+                return i, taxis
+        elif name in ("conv1d", "fp"):
+            # layout (N, C, T'): spatial axis 2
+            if ndim != 3 or taxis != 2:
+                return i, taxis
+            if (p.kwargs.get("kernel_size", 1) != 1
+                    or p.kwargs.get("stride", 1) != 1):
+                return i, taxis
+        elif name == "freq-lstm":
+            # recurrent along F of (N, C, F, T): per-timestep iff time is
+            # the trailing axis; output (N, out, 1, T)
+            if ndim != 4 or taxis != 3:
+                return i, taxis
+        elif name == "fc":
+            if taxis == ndim - 1:
+                return i, taxis
+        elif name == "squeeze":
+            dim = p.kwargs.get("dim")
+            if dim is None:
+                return i, taxis
+            if dim < 0:
+                dim += ndim
+            if dim == taxis:
+                return i, taxis
+            if dim < taxis:
+                taxis -= 1
+            ndim -= 1
+        elif name == "unsqueeze":
+            dim = p.kwargs.get("dim")
+            if dim is None:
+                return i, taxis
+            if dim < 0:
+                dim += ndim + 1
+            if dim <= taxis:
+                taxis += 1
+            ndim += 1
+        elif name == "transpose":
+            d0, d1 = p.kwargs.get("dim0"), p.kwargs.get("dim1")
+            if d0 is None or d1 is None:
+                return i, taxis
+            if d0 < 0:
+                d0 += ndim
+            if d1 < 0:
+                d1 += ndim
+            if taxis == d0:
+                taxis = d1
+            elif taxis == d1:
+                taxis = d0
+        elif name in ("identity", "gradx", "mul-noise"):
+            pass  # elementwise
+        else:
+            # lstm/gru/lstm2d/attn (temporal), flatten/view/res1d/deconv*
+            # (unanalyzed) — conservative stop
+            return i, taxis
+    return len(parsers), taxis
 
 
 def _thaw_spec(spec):

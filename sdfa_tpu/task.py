@@ -32,6 +32,7 @@ class AnimationTask:
         variables: Dict,
         batch_windows: int = 100,
         device_frontend: Optional[bool] = None,
+        overlap_frontend: Optional[bool] = None,
     ):
         self.hp = hparams
         self.model = model
@@ -44,12 +45,48 @@ class AnimationTask:
             device_frontend = jax.default_backend() != "cpu"
         self.device_frontend = bool(device_frontend)
 
+        # window-overlap fast path (DESIGN.md §10): per-frame encoder prefix
+        # once per clip, temporal suffix per window. Default on whenever the
+        # device frontend is on and the encoder has a usable prefix;
+        # SDFA_OVERLAP=0 or overlap_frontend=False restores exact per-window
+        # semantics (divergence bound: tests/test_overlap_path.py).
+        from .models.sdfa import encoder_overlap_split
+
+        split, _ = encoder_overlap_split(model.encoder_specs, model.weight_norm)
+        if overlap_frontend is None:
+            overlap_frontend = (self.device_frontend and split > 0
+                                and os.environ.get("SDFA_OVERLAP", "1") == "1")
+        self.overlap_frontend = bool(overlap_frontend) and split > 0
+
         def fwd(variables, feats, spk):
             preds, z, aligns = model.apply(variables, feats, spk, False)
             anime = model.decode_to_anime(variables, preds)
             return anime, z, aligns
 
         self._fwd = jax.jit(fwd)
+
+        def encode_frames(variables, padded_sig):
+            from .audio.pipeline import clip_frame_features_padded
+
+            clip_feat = clip_frame_features_padded(padded_sig, self._wspec())
+            z_frames = model.apply(variables, clip_feat,
+                                   method=SpeechDrivenAnimation.encode_frames)
+            return z_frames, clip_feat
+
+        def fwd_windows(variables, z_frames, frame_idx, spk):
+            preds, z, aligns = model.apply(
+                variables, z_frames, frame_idx, spk,
+                method=SpeechDrivenAnimation.forward_windows)
+            anime = model.decode_to_anime(variables, preds)
+            return anime, z, aligns
+
+        self._encode_frames = jax.jit(encode_frames)
+        self._fwd_windows = jax.jit(fwd_windows)
+
+    def _wspec(self):
+        from .audio.pipeline import _spec_cache
+
+        return _spec_cache(self.hp)
 
     # ------------------------------------------------------------------
     def feature_to_anime(self, feat_list: np.ndarray, speaker_id: int):
@@ -81,6 +118,46 @@ class AnimationTask:
         return np.concatenate(animes).astype(np.float32), others
 
     # ------------------------------------------------------------------
+    def feature_to_anime_overlap(self, signal: np.ndarray, speaker_id: int):
+        """Overlap fast path: clip-level prefix once, windowed suffix in
+        bs-chunks. Returns (tslist, animes (W, D), others)."""
+        wspec = self._wspec()
+        # bucket the padded length so jit shapes recompile per bucket, not
+        # per clip length (trailing zero-pad ≡ the per-window zero-pad)
+        frame_idx, ts_list, pad_l, pad_r, t_total = wspec.frame_grid(
+            len(signal), bucket=256)
+        padded = np.pad(np.asarray(signal, np.float32), (pad_l, pad_r))
+        z_frames, clip_feat = self._encode_frames(self.variables, jnp.asarray(padded))
+
+        n = len(frame_idx)
+        animes, zs, aligns, inputs = [], [], [], []
+        clip_feat_np = None
+        for i in range(0, n, self.bs):
+            chunk = frame_idx[i : i + self.bs]
+            pad = self.bs - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            spk = jnp.full((self.bs,), speaker_id, jnp.int32)
+            anime, z, align = self._fwd_windows(
+                self.variables, z_frames, jnp.asarray(chunk), spk)
+            keep = self.bs - pad
+            animes.append(np.asarray(anime)[:keep, 0])
+            zs.append(np.asarray(z)[:keep, 0])
+            if align:
+                aligns.append(np.asarray(list(align.values())[0])[:keep, 0])
+            if clip_feat_np is None:
+                clip_feat_np = np.asarray(clip_feat)
+            inputs.append(clip_feat_np[chunk[:keep]])  # (keep, T, F, 3)
+        others = dict(
+            inputs=np.concatenate(inputs) if inputs else None,
+            latent=np.concatenate(zs) if zs else None,
+            latent_align=np.concatenate(aligns) if aligns else None,
+            phones=None,
+            formants=None,
+        )
+        return ts_list, np.concatenate(animes).astype(np.float32), others
+
+    # ------------------------------------------------------------------
     def generate_animation(
         self,
         signal: np.ndarray,
@@ -97,6 +174,18 @@ class AnimationTask:
             speaker = dict(self.hp.dataset_anime.speakers)[speaker]
         if ensembling_ms is None:
             ensembling_ms = self.hp.get("ensembling_ms", 0)
+
+        if self.overlap_frontend:
+            # fast path recomputes per call — it is ~30× cheaper than the
+            # per-window path, so the reference's signal feature cache
+            # (model.py:409-416) buys nothing here
+            tslist, animes, others = self.feature_to_anime_overlap(signal, speaker)
+            if ensembling_ms and ensembling_ms > 0:
+                pad = int(ensembling_ms * self.hp.audio.sample_rate) // 1000
+                prev = np.pad(signal[:-pad], (pad, 0))
+                animes = (animes
+                          + self.feature_to_anime_overlap(prev, speaker)[1]) / 2.0
+            return tslist, animes, others
 
         # include ensembling in the key (the reference keys only on the
         # signal, model.py:409-416 — changing ensembling_ms there silently

@@ -1,0 +1,217 @@
+"""Window-overlap inference fast path (DESIGN.md §10).
+
+Adjacent sliding windows share 62/64 frames (98.6% signal overlap,
+reference sliding_window.py:29,48); the encoder prefix up to the first
+temporal layer is per-timestep, so it runs once per clip. These tests
+prove (a) the prefix analyzer is correct and conservative, (b) LayerStack
+subrange composition is exact, and (c) the end-to-end divergence of the
+fast path vs the exact per-window path is tightly bounded.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sdfa_tpu.audio import pipeline as ap
+from sdfa_tpu.models import build_model
+from sdfa_tpu.models.sdfa import SpeechDrivenAnimation, encoder_overlap_split
+from sdfa_tpu.nn.spec import (
+    LayerStack, freeze_specs, parse_specs, time_independent_prefix,
+)
+from sdfa_tpu.tools import configure
+
+from _assets import ensure_pca_assets
+
+
+@pytest.fixture(scope="module")
+def hp():
+    root = ensure_pca_assets()
+    return configure("dgrad", dataset_root=root)
+
+
+# ---------------------------------------------------------------------------
+# analyzer
+# ---------------------------------------------------------------------------
+def test_shipped_encoder_prefix(hp):
+    model = build_model(hp, load_pca=True)
+    split, taxis = encoder_overlap_split(model.encoder_specs, model.weight_norm)
+    # permute/conv/pool/conv/pool/conv/freq-lstm/squeeze/permute = 9 layers,
+    # output (N, T, C) — time at axis 1
+    assert split == 9
+    assert taxis == 1
+
+
+def _analyze(specs):
+    return time_independent_prefix(parse_specs([list(s) for s in specs]))
+
+
+def test_analyzer_stops_at_time_kernel_conv():
+    specs = [
+        ("permute", (0, 3, 2, 1)),            # (N,C,F,T)
+        ("conv2d", 3, 32, (3, 3), (1, 1)),    # kernel 3 along time
+    ]
+    split, taxis = _analyze(specs)
+    assert split == 1 and taxis == 3
+
+
+def test_analyzer_stops_at_time_stride():
+    specs = [
+        ("permute", (0, 3, 2, 1)),
+        ("pool2d", "max", (2, 2)),            # pools time
+    ]
+    assert _analyze(specs)[0] == 1
+
+
+def test_analyzer_stops_at_cat_condition():
+    specs = [
+        ("permute", (0, 3, 2, 1)),
+        ("conv2d", 3, 32, (3, 1), (1, 1), "cat_condition=1"),
+    ]
+    assert _analyze(specs)[0] == 1
+
+
+def test_analyzer_stops_at_temporal_layers():
+    assert _analyze([("lstm", 256, 256)])[0] == 0
+    assert _analyze([("attn", "bah", 512, 128, 2)])[0] == 0
+    assert _analyze([("gru", 256, 256)])[0] == 0
+
+
+def test_analyzer_fc_on_time_last_stops():
+    # (N, T, F, C): fc over last axis is fine; after permute putting T last
+    # it must stop
+    assert _analyze([("fc", 3, 8)])[0] == 1
+    assert _analyze([("permute", (0, 2, 3, 1)), ("fc", 64, 8)])[0] == 1
+
+
+def test_analyzer_freq_lstm_requires_time_last():
+    # (N,T,F,C) without permute: freq-lstm would recur over the time axis
+    assert _analyze([("freq-lstm", 64, 32)])[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# LayerStack subranges
+# ---------------------------------------------------------------------------
+def test_layerstack_subrange_composes_exactly(hp):
+    specs = freeze_specs(hp.model.audio_encoder.layers)
+    stack = LayerStack(specs=specs, weight_norm=True, tag="enc")
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 64, 128, 3)),
+                    jnp.float32)
+    variables = stack.init({"params": jax.random.PRNGKey(0)}, x)
+    full, _ = stack.apply(variables, x, training=False)
+    mid, _ = stack.apply(variables, x, training=False, stop=9)
+    out, _ = stack.apply(variables, mid, training=False, start=9)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(out))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end bounded divergence
+# ---------------------------------------------------------------------------
+def test_overlap_path_bounded_divergence(hp):
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False,
+    )
+
+    sr = int(hp.audio.sample_rate)
+    t = np.arange(int(1.5 * sr)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 150 * t)
+           * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+    wspec = ap.WindowSpec(hp)
+    starts, ts_exact = wspec.window_starts(len(sig))
+    frame_idx, ts_fast, pad_l, pad_r, t_total = wspec.frame_grid(len(sig))
+    # identical output-frame timeline
+    assert ts_exact == ts_fast
+    assert frame_idx.shape == (len(starts), wspec.frames)
+    assert frame_idx.min() >= 0 and frame_idx.max() < t_total
+    # snapping moves each window start by at most hop/2 samples
+    snapped = frame_idx[:, 0].astype(np.int64) * wspec.hop_size - pad_l
+    assert np.abs(snapped - starts).max() <= wspec.hop_size // 2
+
+    spk = jnp.zeros((len(starts),), jnp.int32)
+
+    feats = ap.window_features_device(jnp.asarray(sig), jnp.asarray(starts), wspec)
+    preds_e, _, _ = model.apply(variables, feats, spk, False)
+    anime_e = np.asarray(model.decode_to_anime(variables, preds_e))
+
+    clip_feat = ap.clip_frame_features_device(jnp.asarray(sig), wspec, pad_l, pad_r)
+    assert clip_feat.shape == (t_total, wspec.n_mels, 3)
+    preds_o, _, _ = model.apply(
+        variables, clip_feat, jnp.asarray(frame_idx), spk, False,
+        method=SpeechDrivenAnimation.forward_overlap,
+    )
+    anime_o = np.asarray(model.decode_to_anime(variables, preds_o))
+
+    # measured ~7e-5 max abs (rel 8e-4) — bound with slack but keep meaning
+    diff = np.abs(anime_e - anime_o)
+    assert diff.max() < 5e-4, diff.max()
+    assert diff.mean() < 5e-5, diff.mean()
+
+
+def test_task_overlap_mode_matches_exact(hp):
+    """AnimationTask(overlap_frontend=True) = same timeline, bounded anime
+    divergence, same `others` surface, ensembling works."""
+    from sdfa_tpu.task import AnimationTask
+
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False,
+    )
+    sr = int(hp.audio.sample_rate)
+    t = np.arange(int(1.2 * sr)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+
+    exact = AnimationTask(hp, model, variables,
+                          device_frontend=True, overlap_frontend=False)
+    fast = AnimationTask(hp, model, variables,
+                         device_frontend=True, overlap_frontend=True)
+    ts_e, an_e, _ = exact.generate_animation(sig, 0)
+    ts_f, an_f, others = fast.generate_animation(sig, 0)
+    assert ts_e == ts_f
+    assert np.abs(an_e - an_f).max() < 5e-4
+    assert others["inputs"].shape == (len(ts_f), 64, 128, 3)
+    assert others["latent"].shape == (len(ts_f), 512)
+    assert others["latent_align"] is not None
+
+    # ensembling averages two shifted passes (model.py:369-403)
+    _, an_ens, _ = fast.generate_animation(sig, 0, ensembling_ms=40)
+    assert an_ens.shape == an_f.shape
+    assert not np.allclose(an_ens, an_f)
+
+
+def test_clip_features_match_exact_on_aligned_interior_windows(hp):
+    """When a window start already sits on the hop grid, its gathered
+    clip-level mel equals the per-window mel exactly on interior frames
+    (edges differ only in Δ/Δ² and the preemphasis first sample)."""
+    wspec = ap.WindowSpec(hp)
+    sr = wspec.sr
+    rng = np.random.default_rng(1)
+    sig = rng.normal(0, 0.1, 2 * sr).astype(np.float32)
+
+    start = 10 * wspec.hop_size  # on-grid start
+    starts = np.asarray([start], np.int32)
+    exact = np.asarray(ap.window_features_device(
+        jnp.asarray(sig), jnp.asarray(starts), wspec))[0]  # (T, M, 3)
+
+    pad_l = wspec.sliding
+    clip = np.asarray(ap.clip_frame_features_device(
+        jnp.asarray(sig), wspec, pad_l, pad_l))
+    f0 = (start + pad_l) // wspec.hop_size
+    gathered = clip[f0:f0 + wspec.frames]
+
+    # mel channel: all frames except frame 0 (preemphasis first-sample) match
+    np.testing.assert_allclose(gathered[1:, :, 0], exact[1:, :, 0],
+                               atol=2e-5, rtol=0)
+    # delta channels: interior frames (SG half-width 4 from each edge,
+    # +1 for the frame-0 mel effect spreading through the 9-tap filter)
+    np.testing.assert_allclose(gathered[5:-4, :, 1], exact[5:-4, :, 1],
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(gathered[5:-4, :, 2], exact[5:-4, :, 2],
+                               atol=2e-5, rtol=0)
