@@ -65,32 +65,58 @@ def detect_speech(
     sr: int,
     pad_mode: str = "constant",
     smooth_ms: Optional[float] = None,
+    vad_mode: int = 3,
     energy_db_threshold: float = -40.0,
 ) -> np.ndarray:
-    """Per-20ms-frame speech flags (uint8), energy-based."""
+    """Per-SAMPLE speech flags (uint8), matching the reference's contract
+    (saber/data/audio/vad.py:6-57): 20 ms frame decisions, run-length
+    smoothing, then expanded back to sample resolution.
+
+    Decision backend: energy threshold instead of webrtcvad (not in this
+    image); ``vad_mode`` is accepted for signature parity and maps to the
+    threshold (mode 3 ≈ −40 dB; each step down relaxes by 5 dB). The span
+    divergence vs webrtcvad mode 3 is bounded in
+    tests/test_misc_components.py::test_vad_span_accuracy_on_synthesized_speech
+    and documented in PARITY.md.
+    """
+    assert 0 <= vad_mode <= 3
+    threshold_db = energy_db_threshold - 5.0 * (3 - vad_mode)
+    original_length = len(signal)
     win_len = int(0.02 * sr)
-    hop_len = win_len
-    stops = range(0, max(len(signal) - win_len, 0), hop_len)
+    hop_len = int(0.02 * sr)
+    to_pad = (win_len - hop_len) // 2  # 0 for the reference geometry
+    signal = np.pad(signal, (to_pad, to_pad), pad_mode)
     flags = []
-    for left in stops:
+    for left in range(0, max(len(signal) - win_len, 0), hop_len):
         frame = signal[left : left + win_len]
         rms = np.sqrt(np.mean(frame.astype(np.float64) ** 2) + 1e-12)
-        flags.append(1 if 20.0 * np.log10(max(rms, 1e-10)) > energy_db_threshold else 0)
+        flags.append(1 if 20.0 * np.log10(max(rms, 1e-10)) > threshold_db else 0)
     is_speech = np.asarray(flags, np.uint8)
+
+    # smoothing: runs shorter than smooth_ms/2.5 frames take the previous
+    # run's (smoothed) value, starting from 0 (vad.py:35-49)
     if smooth_ms is not None and len(is_speech):
-        # suppress runs shorter than smooth_ms/2.5 frames (reference heuristic)
         threshold = smooth_ms / 2.5
-        i = 0
-        out = is_speech.copy()
-        while i < len(out):
+        i, last = 0, 0
+        out = []
+        while i < len(is_speech):
             j = i
-            while j < len(out) and out[j] == out[i]:
+            while j < len(is_speech) and is_speech[j] == is_speech[i]:
                 j += 1
-            if (j - i) < threshold and i > 0:
-                out[i:j] = out[i - 1]
+            cur = is_speech[i]
+            if j - i < threshold:
+                cur = last
+            last = cur
+            out.extend([cur] * (j - i))
             i = j
-        is_speech = out
-    return is_speech
+        is_speech = np.asarray(out, np.uint8)
+
+    # expand to sample resolution, padded to the original length (vad.py:51-56)
+    ret = np.repeat(is_speech, hop_len)
+    if original_length > len(ret):
+        fill = ret[-1] if len(ret) else 0
+        ret = np.pad(ret, (0, original_length - len(ret)), constant_values=fill)
+    return ret[:original_length].astype(np.uint8)
 
 
 def vad_to_pairs(is_speech: np.ndarray) -> List[Tuple[int, int]]:

@@ -51,8 +51,43 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         # f32 — see DESIGN.md §9 "target-payload compression")
         tr_cfg = hparams.get("trainer") or {}
         self._compact_targets = bool(tr_cfg.get("compact_targets", False))
+        # trainer.pca_targets: ship 85+180-dim PCA coefficients instead of
+        # 89,784-float dgrad frames (~350× smaller step upload); the loss
+        # decodes on device with the model's own PCA constants. Projection
+        # is affine, so the bilinear frame interpolation commutes with it —
+        # coefficients are projected once per sentence and cached.
+        self._pca_targets = bool(tr_cfg.get("pca_targets", False))
+        self._pca_mats = None
+        if self._pca_targets:
+            out_cfg = hparams.model.output
+            assert bool(out_cfg.get("using_pca", False)), (
+                "trainer.pca_targets requires model.output.using_pca")
+            assert not bool(out_cfg.get("pca_trainable", False)), (
+                "trainer.pca_targets needs frozen PCA constants — with "
+                "pca_trainable the decoded target would chase the weights")
+            if hparams.model.face_data_type == "dgrad_3d":
+                self._pca_mats = tuple(
+                    (np.load(c).astype(np.float32), np.load(m).astype(np.float32))
+                    for c, m in (out_cfg.pca_scale, out_cfg.pca_rotat)
+                )
+            else:
+                self._pca_mats = (
+                    (np.load(out_cfg.pca[0]).astype(np.float32),
+                     np.load(out_cfg.pca[1]).astype(np.float32)),
+                )
         self._face_type = hparams.model.face_data_type
         self._ts_delta = float(hparams.anime.feature.ts_delta)
+        # reverb / pitch-shift / time-stretch sources are disabled in every
+        # shipped reference config and their blob generation is commented
+        # out upstream (reference preload.py:702-723, sliding_window.py:121-147);
+        # reject loudly instead of silently training without them
+        if training:
+            for opt in ("random_reverb", "random_pitch_shift", "random_time_stretch"):
+                if feat_cfg.get(opt):
+                    raise NotImplementedError(
+                        f"audio.feature.{opt} is not supported: the reference "
+                        "disables it and never generates the source variants "
+                        "(preload.py:702-723)")
         self._time_shifting = 0.5 / self._fps
         self._rng = np.random.default_rng(hparams.get("seed", 1234) + int(training))
         self._audio_cache: Dict[str, dict] = {}
@@ -166,10 +201,32 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
                 ], np.float32)
                 np.save(frames_path, frames.astype(np.float32))
                 np.save(lips_path, lips)
+            coeffs = None
+            if self._pca_targets:
+                coeffs_path = data_path + "_coeffs.npy"
+                if not os.path.exists(coeffs_path):
+                    frames = np.load(frames_path, mmap_mode="r")
+                    coeffs = self._project_frames(np.asarray(frames))
+                    np.save(coeffs_path, coeffs)
+                coeffs = np.load(coeffs_path, mmap_mode="r")
             store = (np.load(frames_path, mmap_mode="r"),
-                     np.load(lips_path, mmap_mode="r"), minfi)
+                     np.load(lips_path, mmap_mode="r"), minfi, coeffs)
             self._frame_stores[data_path] = store
         return store
+
+    def _project_frames(self, frames: np.ndarray) -> np.ndarray:
+        """(N, D) flat target frames → (N, Σk) concatenated PCA coefficients
+        (dgrad: scale then rotat branch; others: the single basis)."""
+        if self._face_type == "dgrad_3d":
+            per_tri = frames.reshape(len(frames), -1, 9)
+            parts = [per_tri[:, :, :6].reshape(len(frames), -1),
+                     per_tri[:, :, 6:].reshape(len(frames), -1)]
+        else:
+            parts = [frames.reshape(len(frames), -1)]
+        out = []
+        for (comp, means), x in zip(self._pca_mats, parts):
+            out.append((x - means) @ comp)  # comp: (D, k)
+        return np.concatenate(out, axis=-1).astype(np.float32)
 
     def _anime_target(self, info, data_path, shifted_l, shifted_r):
         """(sliding_window.py:205-240)."""
@@ -186,8 +243,9 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
             lower = upper = maxfi
         a = float(pos - lower) if upper != lower else 0.0
 
-        frames, lips, base = self._frame_store(data_path, minfi, maxfi)
-        feat = frames[lower - base] * (1.0 - a) + frames[upper - base] * a
+        frames, lips, base, coeffs = self._frame_store(data_path, minfi, maxfi)
+        src = coeffs if self._pca_targets else frames
+        feat = src[lower - base] * (1.0 - a) + src[upper - base] * a
         dist = lips[lower - base] * (1.0 - a) + lips[upper - base] * a
         weight = np.exp((0.002 - dist) * 50.0) * 2.0
         return feat.astype(np.float32), np.float32(weight)
@@ -240,6 +298,20 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         )
         anime0, ret["anime_weight_0"] = self._anime_target(info, data_path, l0, r0)
         anime1, ret["anime_weight_1"] = self._anime_target(info, data_path, l1, r1)
+        self._pack_targets(ret, anime0, anime1)
+        return ret
+
+    def _pack_targets(self, ret: dict, anime0, anime1):
+        if self._pca_targets:
+            if self._face_type == "dgrad_3d":
+                k = self._pca_mats[0][0].shape[1]
+                for flag, a in ((0, anime0), (1, anime1)):
+                    ret[f"dgrad_3d_scale_coef_{flag}"] = a[None, :k]
+                    ret[f"dgrad_3d_rotat_coef_{flag}"] = a[None, k:]
+            else:
+                ret[f"{self._face_type}_coef_0"] = anime0[None, :]
+                ret[f"{self._face_type}_coef_1"] = anime1[None, :]
+            return
         if self._face_type == "dgrad_3d":
             anime0 = anime0.reshape(-1, 9)
             anime1 = anime1.reshape(-1, 9)
@@ -252,7 +324,6 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
             ret["verts_off_3d_1"] = anime1.reshape(1, -1)
         else:
             raise NotImplementedError(self._face_type)
-        return ret
 
     # ------------------------------------------------------------------
     # raw mode: host does RNG + wav slicing + target loads only; the mel
@@ -285,8 +356,18 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         sr = int(blob["sr"])
         signal = blob["audio"]
         if self.training:
-            avail = [k for k in _SOURCE_KEYS if k in blob]
-            signal = blob[str(self._rng.choice(avail))]
+            # raw mode ships the wav slice to the device frontend at the
+            # config sr — only sources at that rate are eligible
+            avail = [
+                k for k in _SOURCE_KEYS if k in blob
+                and (8000 if k.endswith("_8k") else sr) == self._sr
+            ]
+            assert avail, (
+                f"raw mode: no audio source at config sr {self._sr} in {data_path}"
+            )
+            source = str(self._rng.choice(avail))
+            signal = blob[source]
+            sr = 8000 if source.endswith("_8k") else sr
         assert sr == self._sr, "raw mode requires dataset sr == config sr"
 
         hop = int(self._mel_cfg["hop_size"])
@@ -348,16 +429,7 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
         )
         anime0, ret["anime_weight_0"] = self._anime_target(info, data_path, l0, r0)
         anime1, ret["anime_weight_1"] = self._anime_target(info, data_path, l1, r1)
-        if self._face_type == "dgrad_3d":
-            anime0 = anime0.reshape(-1, 9)
-            anime1 = anime1.reshape(-1, 9)
-            ret["dgrad_3d_scale_0"] = anime0[None, :, :6]
-            ret["dgrad_3d_rotat_0"] = anime0[None, :, 6:]
-            ret["dgrad_3d_scale_1"] = anime1[None, :, :6]
-            ret["dgrad_3d_rotat_1"] = anime1[None, :, 6:]
-        else:
-            ret["verts_off_3d_0"] = anime0.reshape(1, -1)
-            ret["verts_off_3d_1"] = anime1.reshape(1, -1)
+        self._pack_targets(ret, anime0, anime1)
         return ret
 
     @staticmethod
@@ -392,7 +464,9 @@ class DatasetSlidingWindow(SpeechAnimeDataset):
     def _maybe_compact(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         if self._compact_targets:
             for key in list(batch):
-                if key.startswith(self._face_type) and batch[key].dtype == np.float32:
+                # coefficient targets are already ~350× smaller — keep f32
+                if (key.startswith(self._face_type) and "_coef" not in key
+                        and batch[key].dtype == np.float32):
                     batch[key] = batch[key].astype(np.float16)
         return batch
 

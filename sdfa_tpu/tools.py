@@ -117,13 +117,15 @@ def configure(
     return hp
 
 
-# -- data path conventions (tools/data_info.py) ------------------------------
+# -- data path conventions (tools/data_info.py:25-32) ------------------------
 def data_dir(root: str, speaker: str, emotion: str, sent: int) -> str:
-    return os.path.join(root, "data", speaker, emotion, f"sent{sent:03d}")
+    """root/data/<speaker>/<emotion>/<sent zfill 3> (0-based sentence id)."""
+    return os.path.join(root, "data", speaker, emotion, f"{int(sent):03d}")
 
 
 def parse_data_dir(path: str):
     parts = os.path.normpath(path).split(os.sep)
     sent = parts[-1]
-    assert sent.startswith("sent")
-    return dict(speaker=parts[-3], emotion=parts[-2], sent=int(sent[4:]))
+    if sent.startswith("sent"):  # legacy round-1 layout
+        sent = sent[4:]
+    return dict(speaker=parts[-3], emotion=parts[-2], sent=int(sent))

@@ -79,14 +79,28 @@ def fake_voca(tmp_path_factory):
 class TestPipeline:
     def test_clean(self, fake_voca, tmp_path_factory):
         clean_root = str(tmp_path_factory.mktemp("clean"))
-        preload.clean_voca(fake_voca, clean_root, sample_rate=22050,
+        preload.clean_voca(fake_voca, clean_root, sample_rate=8000,
                            target_db=-24.5, speakers=["m0", "f4"])
         wav_path = os.path.join(clean_root, "m0", "m0_001.wav")
         assert os.path.exists(wav_path)
         wav, sr = audio_lib.load(wav_path)
-        assert sr == 22050
-        rms_db, _ = audio_lib.rms.analyze_db(wav)
-        assert rms_db == pytest.approx(-24.5, abs=1.5)
+        assert sr == 8000
+        # VAD-masked RMS normalize: measure over the same VAD span the
+        # normalizer used (reference preload.py:203-210)
+        vad_pairs = []
+        with open(os.path.join(clean_root, "m0", "m0_001.vad")) as fp:
+            for line in fp:
+                lo, hi = line.split()
+                vad_pairs.append((int(lo), int(hi)))
+        mask = np.zeros(len(wav), bool)
+        for lo, hi in vad_pairs:
+            mask[lo:hi] = True
+        rms_db = 20 * np.log10(np.sqrt(np.mean(wav[mask] ** 2)) + 1e-10)
+        assert rms_db == pytest.approx(-24.5, abs=1.0)
+        # sample-level VAD pairs + sentence text written
+        assert os.path.exists(os.path.join(clean_root, "m0", "m0_001.vad"))
+        assert os.path.exists(os.path.join(clean_root, "m0", "m0_001.txt"))
+        assert os.path.exists(os.path.join(clean_root, "err_list.txt"))
         self.__class__.clean_root = clean_root
 
     def test_preload(self, fake_voca, tmp_path_factory):
@@ -95,17 +109,92 @@ class TestPipeline:
                              sample_rate=8000, speakers=["m0", "f4"])
         rows = csvio.read_csv(os.path.join(out_root, "train.csv"))
         assert len(rows) == 2  # m0 sentences
-        d = str(rows[0]["npy_data_path:path"])
-        frames = [f for f in os.listdir(d) if f.endswith(".npy") and "lips" not in f]
-        assert len(frames) == 12
+        row = next(r for r in rows if int(r["sentence_id:int"]) == 0)
+        d = str(row["npy_data_path:path"])
+        # reference path convention: 0-based zfill-3 sentence dirs
+        assert os.path.basename(d) == "000"
+
+        # silence pad/trim bookkeeping: the 1 s all-speech clip gets 0.5 s
+        # of silence padded at both ends → start_ts = −500 ms
+        start_ts = float(row["start_ts:float"])
+        assert start_ts == pytest.approx(-500.0, abs=30.0)
+        minfi = int(row["anime_minfi:int"])
+        maxfi = int(row["anime_maxfi:int"])
+        assert minfi == pytest.approx(start_ts * 60 / 1000, abs=1)
+        n_audio_frames = int(int(row["audio_samples:int"]) * 60 / 8000)
+        assert maxfi == n_audio_frames  # extended past the 12 mesh frames
+
+        files = os.listdir(d)
+        # negative frame indices exist and parse (reference "-00001.npy")
+        assert f"{minfi:06d}.npy" in files and f"{maxfi:06d}.npy" in files
+        assert any(f.startswith("-") for f in files)
         offs = np.load(os.path.join(d, "000000.npy"))
         assert offs.shape == (5023 * 3,)
+        # frames far outside the speech span blend to neutral (zeros)
+        assert np.abs(np.load(os.path.join(d, f"{minfi:06d}.npy"))).max() == 0.0
+
+        # 4-variant audio blob (reference preload.py:600-609)
         blob = np.load(d + "_audio.npz")
+        for key in ("audio", "audio_denoised", "audio_8k", "audio_denoised_8k"):
+            assert key in blob, key
         assert int(blob["sr"]) == 8000
-        # valid speaker f4 kept (sentence 21 ≥ 20)
+        assert float(blob["start_ts"]) == pytest.approx(start_ts)
+        # denoised_8k is genuinely denoised (≠ audio_8k — the reference
+        # resamples the raw signal twice, preload.py:600-601)
+        assert not np.allclose(blob["audio_8k"], blob["audio_denoised_8k"])
+
+        # signed lips distance against the global FLAME template
+        lips = np.load(os.path.join(d, "000000_lips_dist.npy"))
+        assert lips.shape == ()
+
+        # valid speaker f4 kept (0-based sentence 20 ≥ 20)
         valid = csvio.read_csv(os.path.join(out_root, "valid.csv"))
         assert len(valid) == 1
         self.__class__.out_root = out_root
+
+    def test_nonzero_start_ts_roundtrip(self, fake_voca):
+        """A window at media-time ts must fetch the anime frame at
+        ts + start_ts·(−1)… i.e. the sliding-window target lookup honors
+        the blob's start_ts (sliding_window.py:176-179 equivalent)."""
+        from sdfa_tpu.data.sliding_window import DatasetSlidingWindow
+        from sdfa_tpu.tools import configure
+
+        rows = csvio.read_csv(os.path.join(self.out_root, "train.csv"))
+        row = rows[0]
+        hp = configure("dgrad", dataset_root=self.out_root)
+        hp.model.set_key("face_data_type", "verts_off_3d")
+        ds = DatasetSlidingWindow.__new__(DatasetSlidingWindow)
+        ds._fps = 60.0
+        ds._ts_delta = 100.0
+        ds._frame_stores = {}
+        ds.sample_to_ms = lambda s: s * 1000.0 / 8000.0
+        start_ts = float(row["start_ts:float"])
+        assert start_ts != 0.0
+        d = str(row["npy_data_path:path"])
+        # window centered at processed-signal ms 700 → capture-timeline
+        # ts = 700 − ts_delta + start_ts — must load the interpolated frame
+        # there, NOT at 700−ts_delta (which a start_ts=0 producer would hit)
+        center = 700.0 * 8000.0 / 1000.0
+        feat, w = ds._anime_target(row, d, center, center)
+        ts = 700.0 - 100.0 + start_ts  # ms on the capture timeline
+        pos = ts * 60.0 / 1000.0
+        lo = int(np.floor(pos))
+        a = pos - lo
+        f_lo = np.load(os.path.join(d, f"{lo:06d}.npy"))
+        f_hi = np.load(os.path.join(d, f"{lo + 1:06d}.npy"))
+        np.testing.assert_allclose(feat, f_lo * (1 - a) + f_hi * a, atol=1e-6)
+
+    def test_four_source_selection_observable(self, fake_voca):
+        """Training item source augmentation draws all 4 blob variants."""
+        from sdfa_tpu.data.sliding_window import _SOURCE_KEYS
+
+        rows = csvio.read_csv(os.path.join(self.out_root, "train.csv"))
+        blob = dict(np.load(str(rows[0]["npy_data_path:path"]) + "_audio.npz"))
+        avail = [k for k in _SOURCE_KEYS if k in blob]
+        assert avail == list(_SOURCE_KEYS)
+        rng = np.random.default_rng(0)
+        seen = {str(rng.choice(avail)) for _ in range(100)}
+        assert seen == set(_SOURCE_KEYS)
 
     def test_dgrad_and_pca(self, fake_voca, tmp_path_factory):
         dgrad_root = str(tmp_path_factory.mktemp("dgrad"))
