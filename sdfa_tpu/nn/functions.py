@@ -79,9 +79,14 @@ def activation_gain(name: Optional[str]) -> float:
 # padding math (TF-style, left-heavy same)
 # ---------------------------------------------------------------------------
 def get_pad_tuple(size: int, kernel_size: int, stride: int, dilation: int, padding: str):
-    """Reference functions.py:204-215; note left = padlr − padlr//2 (left-heavy)."""
+    """Reference functions.py:204-215; note left = padlr − padlr//2 (left-heavy).
+
+    padlr can go NEGATIVE when stride > 1 and size is not a stride multiple
+    — the reference passes the negative values to F.pad, which CROPS. The
+    conv layers forward negatives to conv_general_dilated (XLA supports
+    negative window padding); the pool layers crop explicitly
+    (tests/test_reference_oracle_parity.py pins this against saber itself)."""
     padlr = (size // stride - 1) * stride + dilation * (kernel_size - 1) + 1 - size
-    padlr = max(padlr, 0)
     if padding == "same":
         right = padlr // 2
         left = padlr - right

@@ -384,14 +384,26 @@ class Pool1d(nn.Module):
             lo, hi = fn.get_pad_tuple(x.shape[-1], k, s, 1, self.padding)
         else:
             lo = hi = int(self.padding)
-        pads = [(0, 0), (0, 0), (lo, hi)]
+        x = _pad_or_crop(x, [(0, 0), (0, 0), (lo, hi)])  # reference zero-pads
         if self.mode == "max":
-            init, op = -jnp.inf, jax.lax.max
-            x = jnp.pad(x, pads, constant_values=0.0)  # reference zero-pads
-            return jax.lax.reduce_window(x, init, op, (1, 1, k), (1, 1, s), "VALID")
-        x = jnp.pad(x, pads)
+            return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                         (1, 1, k), (1, 1, s), "VALID")
         summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 1, k), (1, 1, s), "VALID")
         return summed / k
+
+
+def _pad_or_crop(x, pads):
+    """Zero-pad (positive) or crop (negative) per axis — torch F.pad
+    semantics, which the reference's same-pad relies on when stride > 1
+    leaves padlr negative (functions.py:204-209)."""
+    if any(p < 0 for pair in pads for p in pair):
+        slices = tuple(
+            slice(max(-lo, 0), x.shape[i] - max(-hi, 0))
+            for i, (lo, hi) in enumerate(pads)
+        )
+        x = x[slices]
+        pads = [(max(lo, 0), max(hi, 0)) for lo, hi in pads]
+    return jnp.pad(x, pads, constant_values=0.0)
 
 
 class Pool2d(nn.Module):
@@ -410,8 +422,7 @@ class Pool2d(nn.Module):
         else:
             p0, p1 = _pair(self.padding)
             ph, pw = (p0, p0), (p1, p1)
-        pads = [(0, 0), (0, 0), ph, pw]
-        x = jnp.pad(x, pads, constant_values=0.0)
+        x = _pad_or_crop(x, [(0, 0), (0, 0), ph, pw])
         if self.mode == "max":
             return jax.lax.reduce_window(
                 x, -jnp.inf, jax.lax.max, (1, 1, kh, kw), (1, 1, sh, sw), "VALID"
