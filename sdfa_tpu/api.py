@@ -73,6 +73,21 @@ def train_model(
     batches_fn = (lambda ds, **kw: ds.raw_batches(bs, **kw)) if raw_mode else (
         lambda ds, **kw: ds.batches(bs, **kw))
 
+    if raw_mode:
+        # the device feature kernel supports the shipped augmentation set;
+        # options it does not implement must fail loudly, not silently
+        # train without them (ADVICE r1)
+        fc = hp.audio.feature
+        for opt in ("random_mel_noise", "random_mel_tremolo"):
+            if fc.get(opt):
+                raise NotImplementedError(
+                    f"audio.feature.{opt} is not implemented in raw mode "
+                    "(device features) — set trainer.host_features=true")
+        if hp.trainer.anime_loader.get("multiple_workers"):
+            log.warn("raw mode ignores anime_loader.multiple_workers "
+                     "(device frontend needs no worker pool); set "
+                     "trainer.host_features=true to use PrefetchLoader")
+
     multiple_workers = bool(hp.trainer.anime_loader.get("multiple_workers", False))
     if multiple_workers and max_steps is None and not raw_mode:
         from .data.prefetch import PrefetchLoader

@@ -185,9 +185,11 @@ def device_train_features(
     is_row = drop_rows[:, :, None]
     zero_mode = (1.0 - drop_is_max)[:, None, None]
     feat = feat * (1.0 - is_row * zero_mode)  # zero-mode rows
-    thres = drop_thres[:, None, None]
-    max_rows = is_row * drop_is_max[:, None, None]
-    feat = jnp.where((max_rows > 0) & (feat < thres), thres, feat)
+    # "max" dropout mode is a silent no-op in the reference
+    # (get_features.py:191-192 writes into a fancy-index copy) — reproduced
+    # for parity; drop_is_max/drop_thres stay in the batch interface so the
+    # knob remains observable. del to document intent:
+    del drop_thres
 
     # deltas + channel stack → (N, T, M, 3)
     d1 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(T_OUT, 1)), precision=_PREC)

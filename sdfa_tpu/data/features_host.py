@@ -194,9 +194,10 @@ def windowed_features(
         random_args["mask_idx"] = mask_idx
         if drop_mode == "zero":
             feat[mask_idx] = 0
-        else:
-            sub = feat[mask_idx]
-            feat[mask_idx] = np.where(sub < mask_thres, mask_thres, sub)
+        # "max" mode: the reference's `feat[mask_idx][where] = mask_thres`
+        # (get_features.py:191-192) assigns into a fancy-index COPY — a
+        # silent no-op. Reproduced as a no-op for strict parity of the
+        # training augmentation distribution (ADVICE r1; PARITY.md A24).
 
     stacked = deltas_stack(feat.astype(np.float32))
     return stacked, wav, random_args

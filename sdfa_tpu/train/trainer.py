@@ -113,12 +113,25 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
         new_scalers = dict(scalers)
         kw = dict(is_dgrad=is_dgrad, is_face_data=is_face_data)
 
+        def _decode_coef(name, coef):
+            """PCA-coefficient targets (trainer.pca_targets) decode on
+            device inside the loss — the host ships 85+180 floats/frame
+            instead of 89,784 (~350× smaller upload over the tunnel)."""
+            sub = constants[name]
+            return (jnp.matmul(jnp.asarray(coef, jnp.float32), sub["compT"].T,
+                               precision=jax.lax.Precision.HIGHEST)
+                    + sub["means"])
+
         if is_dgrad:
             pred_s = preds[f"dgrad_3d_scale{postfix}"]
             pred_r = preds[f"dgrad_3d_rotat{postfix}"]
-            # f32 cast is a no-op unless trainer.compact_targets shipped f16
-            true_s = jnp.asarray(batch[f"dgrad_3d_scale{postfix}"], jnp.float32)
-            true_r = jnp.asarray(batch[f"dgrad_3d_rotat{postfix}"], jnp.float32)
+            if "dgrad_3d_scale_coef" in batch:
+                true_s = _decode_coef("scale_pca", batch["dgrad_3d_scale_coef"])
+                true_r = _decode_coef("rotat_pca", batch["dgrad_3d_rotat_coef"])
+            else:
+                # f32 cast is a no-op unless trainer.compact_targets shipped f16
+                true_s = jnp.asarray(batch[f"dgrad_3d_scale{postfix}"], jnp.float32)
+                true_r = jnp.asarray(batch[f"dgrad_3d_rotat{postfix}"], jnp.float32)
             if is_face_data:
                 # stay in the flat layout (no (…, tris, k) padded temps in
                 # fwd/bwd): sum-over-k-then-mean-over-tris == flat-sum ÷ tris
@@ -149,7 +162,10 @@ def make_loss_fn(model: SpeechDrivenAnimation, hparams: ConfigDict):
                                   loss_pr=pr * p_scale, loss_mr=mr * m_scale)
         else:
             pred = preds[f"{model.face_type}{postfix}"]
-            true = jnp.asarray(batch[f"{model.face_type}{postfix}"], jnp.float32)
+            if f"{model.face_type}_coef" in batch:
+                true = _decode_coef("pca", batch[f"{model.face_type}_coef"])
+            else:
+                true = jnp.asarray(batch[f"{model.face_type}{postfix}"], jnp.float32)
             pl = L.ploss(pred, true, weights, **kw)
             ml = L.mloss(pred, true, weights, **kw)
             scalars.update(scalar_ploss=pl, scalar_mloss=ml)
@@ -260,8 +276,19 @@ class Experiment:
         os.makedirs(os.path.join(log_dir, "train_log", "loss"), exist_ok=True)
         hparams.dump(os.path.join(log_dir, "hparams.json"))
 
+        # multi-host: join the pod runtime BEFORE building the mesh so
+        # jax.devices() spans all hosts (SURVEY.md §5 distributed backend;
+        # no-op on a single process — tested path)
+        self.multihost = bool((hparams.get("trainer") or {}).get("multihost", False))
+        if self.multihost and training:
+            from ..parallel import multihost as mh
+
+            mh.maybe_initialize_distributed()
         self.mesh = mesh_lib.make_mesh()
         self.n_devices = len(self.mesh.devices.reshape(-1))
+        if jax.process_count() > 1:
+            log.info(f"multi-host run: {jax.process_count()} processes, "
+                     f"{self.n_devices} devices total")
 
         # init model state
         rng = jax.random.PRNGKey(seed)
@@ -412,9 +439,23 @@ class Experiment:
         )
         log.info(f"restored checkpoint from {path} (epoch {self.epoch})")
 
+    # -- batch placement --------------------------------------------------------
+    def put_batch(self, batch):
+        """Host batch → mesh-sharded global batch. Single process: a plain
+        sharded device_put; multi-host: each process contributes its local
+        shard via jax.make_array_from_process_local_data
+        (parallel/multihost.py)."""
+        from ..parallel import multihost as mh
+
+        return mh.global_batch_from_local(self.mesh, batch)
+
     # -- lr --------------------------------------------------------------------
     def current_lr(self) -> Tuple[float, float]:
-        it = self.epoch if self.sched_mode == "epoch" else int(jax.device_get(self.state.step))
+        # step mode: the reference increments global_step BEFORE stepping the
+        # scheduler (manager/trainer.py), so the first optimization step
+        # evaluates the schedule at counter 1, not 0
+        it = (self.epoch if self.sched_mode == "epoch"
+              else int(jax.device_get(self.state.step)) + 1)
         lr = float(self.lr_fn(jnp.asarray(it)))
         b1 = float(self.beta1_fn(jnp.asarray(it))) if self.beta1_fn else 0.9
         return lr, b1
@@ -456,7 +497,10 @@ class Trainer:
             ("set save_gap_epochs XOR save_gap_steps, not both "
              "(the default config sets save_gap_epochs=10 — override it "
              "with save_gap_epochs=None to use step cadence)")
-        self.valid_gap_epochs = int(hp_tr.get("valid_gap_epochs", 0) or 0) or 1
+        # gap 0/None disables validation entirely — reference semantics
+        # (_should_at_epoch returns False for falsy gaps, trainer.py:200-204);
+        # the shipped configs set valid_gap_epochs=0 on purpose
+        self.valid_gap_epochs = int(hp_tr.get("valid_gap_epochs", 0) or 0)
         self.metric_name = hp_tr.get("reference_metric", "ploss")
         self.metric_larger = bool(hp_tr.get("reference_metric_larger", False))
         self.best_metric = None
@@ -488,7 +532,8 @@ class Trainer:
                 log.info("no batches this epoch — stopping training")
                 break
             epoch_row = {"epoch": exp.epoch, **{f"train_{k}": v for k, v in train_metrics.items()}}
-            if self.valid_loader is not None and (exp.epoch + 1) % self.valid_gap_epochs == 0:
+            if (self.valid_loader is not None and self.valid_gap_epochs > 0
+                    and (exp.epoch + 1) % self.valid_gap_epochs == 0):
                 valid_metrics = self._validate()
                 epoch_row.update({f"valid_{k}": v for k, v in valid_metrics.items()})
                 metric = valid_metrics.get("scalar_" + self.metric_name,
@@ -569,7 +614,7 @@ class Trainer:
                 self._prof_active = True
             lr, b1 = exp.current_lr()
             exp.rng, step_rng = jax.random.split(exp.rng)
-            batch = mesh_lib.shard_batch(exp.mesh, batch)
+            batch = exp.put_batch(batch)
             exp.state, metrics = exp.train_step_fn(
                 exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
             )
@@ -580,7 +625,7 @@ class Trainer:
                     continue
                 lr, b1 = exp.current_lr()
                 exp.rng, aux_rng = jax.random.split(exp.rng)
-                aux_batch = mesh_lib.shard_batch(exp.mesh, aux_batch)
+                aux_batch = exp.put_batch(aux_batch)
                 exp.state, _ = exp.train_step_fn(
                     exp.state, aux_batch, aux_rng, jnp.asarray(lr), jnp.asarray(b1)
                 )
@@ -638,7 +683,7 @@ class Trainer:
         self._run_hooks("prev_valid", epoch=exp.epoch)
         for batch in self.valid_loader:
             exp.rng, step_rng = jax.random.split(exp.rng)
-            batch = mesh_lib.shard_batch(exp.mesh, batch)
+            batch = exp.put_batch(batch)
             metrics = exp.eval_step_fn(exp.state, batch, step_rng)
             vals = {k: float(v) for k, v in jax.device_get(metrics).items()}
             for k, v in vals.items():

@@ -137,3 +137,11 @@ class TestDeviceFeatureParity:
         dev = _device(sig, stt, end, drop_rows=drop, drop_is_max=1.0,
                       drop_thres=0.45)
         np.testing.assert_allclose(dev[..., 0], host[..., 0], atol=2e-3)
+        # "max" mode is a silent no-op in the reference
+        # (get_features.py:191-192 writes into a fancy-index copy) —
+        # reproduced on both paths for augmentation-distribution parity
+        clean = features_host.windowed_features(
+            signal=sig, signal_stt=stt, signal_end=end,
+            mel_cfg=dict(MEL_CFG), sr=SR, frames=64,
+        )[0]
+        np.testing.assert_array_equal(host, np.transpose(clean, (2, 1, 0)))
