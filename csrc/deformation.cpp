@@ -489,6 +489,106 @@ int sdfa_get_mesh_from_dgrad(const float *dgrad, int n_frames,
   return 1;
 }
 
+// raw per-triangle affine transforms, row-major 9 floats/triangle
+// (reference getDeformationMatrix, deform_triangle_impl.hpp:313-383;
+// degenerate triangles emit identity, not zeros)
+int sdfa_get_deform_mat(const double *src, const double *dst, int /*n_verts*/,
+                        const int64_t *tris, int n_tris, double eps,
+                        float *out) {
+#pragma omp parallel for schedule(static)
+  for (int j = 0; j < n_tris; ++j) {
+    const int64_t *f = &tris[(int64_t)j * 3];
+    V3 pa1 = {src[f[0] * 3], src[f[0] * 3 + 1], src[f[0] * 3 + 2]};
+    V3 pa2 = {src[f[1] * 3], src[f[1] * 3 + 1], src[f[1] * 3 + 2]};
+    V3 pa3 = {src[f[2] * 3], src[f[2] * 3 + 1], src[f[2] * 3 + 2]};
+    V3 pb1 = {dst[f[0] * 3], dst[f[0] * 3 + 1], dst[f[0] * 3 + 2]};
+    V3 pb2 = {dst[f[1] * 3], dst[f[1] * 3 + 1], dst[f[1] * 3 + 2]};
+    V3 pb3 = {dst[f[2] * 3], dst[f[2] * 3 + 1], dst[f[2] * 3 + 2]};
+    V3 ea1 = sub(pa2, pa1), ea2 = sub(pa3, pa1);
+    V3 eb1 = sub(pb2, pb1), eb2 = sub(pb3, pb1);
+    V3 ea3, eb3;
+    bool ok = edge3(ea1, ea2, ea3, eps) && edge3(eb1, eb2, eb3, eps);
+    float *m = out + (int64_t)j * 9;
+    M3 t = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+    if (ok) {
+      M3 ma = {{ea1.x, ea2.x, ea3.x}, {ea1.y, ea2.y, ea3.y}, {ea1.z, ea2.z, ea3.z}};
+      M3 mb = {{eb1.x, eb2.x, eb3.x}, {eb1.y, eb2.y, eb3.y}, {eb1.z, eb2.z, eb3.z}};
+      M3 mai;
+      if (inv3(ma, mai)) mat_mul(mb, mai, t);
+    }
+    for (int r = 0; r < 3; ++r)
+      for (int c = 0; c < 3; ++c) m[r * 3 + c] = (float)t[r][c];
+  }
+  return 1;
+}
+
+// mesh from RAW matrices (reference getMeshFromDeformationMatrix,
+// deform_triangle_impl.hpp:383-440): the row-major buffer is consumed as
+// its transpose (the reference's col-major Eigen read of row-major data)
+int sdfa_get_mesh_from_dm(const float *dmat, int n_frames,
+                          const double *cnst_verts, double *out_verts) {
+  if (!g_target.valid) return 0;
+  const Target &t = g_target;
+  const double *cv = cnst_verts ? cnst_verts : t.template_cnst.data();
+
+#pragma omp parallel for schedule(static)
+  for (int fi = 0; fi < n_frames; ++fi) {
+    const float *dm = dmat + (int64_t)fi * t.n_tris * 9;
+    std::vector<double> rhs((int64_t)t.n_free * 3, 0.0);
+    for (int j = 0; j < t.n_tris; ++j) {
+      const float *m = dm + (int64_t)j * 9;
+      M3 tt;  // tt[c][d] = T[d][c]
+      for (int i = 0; i < 3; ++i)
+        for (int k = 0; k < 3; ++k) tt[i][k] = (double)m[k * 3 + i];
+      const int64_t *f = &t.faces[(int64_t)j * 3];
+      const double *wj = &t.w[(int64_t)j * 9];
+      for (int slot = 0; slot < 3; ++slot) {
+        int col = t.vi_to_col[f[slot]];
+        if (col < 0) continue;
+        for (int c = 0; c < 3; ++c) {
+          double wv2 = wj[slot * 3 + c];
+          if (wv2 == 0.0) continue;
+          rhs[(int64_t)col * 3 + 0] += wv2 * tt[c][0];
+          rhs[(int64_t)col * 3 + 1] += wv2 * tt[c][1];
+          rhs[(int64_t)col * 3 + 2] += wv2 * tt[c][2];
+        }
+      }
+      for (int slot = 0; slot < 3; ++slot) {
+        int rcol = t.vi_to_col_r[f[slot]];
+        if (rcol < 0) continue;
+        const double *c0 = cv + (int64_t)rcol * 3;
+        for (int c = 0; c < 3; ++c) {
+          double w_r = wj[slot * 3 + c];
+          if (w_r == 0.0) continue;
+          for (int slot2 = 0; slot2 < 3; ++slot2) {
+            int col = t.vi_to_col[f[slot2]];
+            if (col < 0) continue;
+            double w_a = wj[slot2 * 3 + c];
+            rhs[(int64_t)col * 3 + 0] -= w_a * w_r * c0[0];
+            rhs[(int64_t)col * 3 + 1] -= w_a * w_r * c0[1];
+            rhs[(int64_t)col * 3 + 2] -= w_a * w_r * c0[2];
+          }
+        }
+      }
+    }
+    cholesky_solve(t.chol, t.n_free, rhs.data(), 3);
+    double *ov = out_verts + (int64_t)fi * t.n_verts * 3;
+    for (int i = 0; i < t.n_free; ++i) {
+      int vi = t.free_ids[i];
+      ov[vi * 3 + 0] = rhs[(int64_t)i * 3 + 0];
+      ov[vi * 3 + 1] = rhs[(int64_t)i * 3 + 1];
+      ov[vi * 3 + 2] = rhs[(int64_t)i * 3 + 2];
+    }
+    for (int i = 0; i < t.n_cnsts; ++i) {
+      int vi = t.cnst_ids[i];
+      ov[vi * 3 + 0] = cv[(int64_t)i * 3 + 0];
+      ov[vi * 3 + 1] = cv[(int64_t)i * 3 + 1];
+      ov[vi * 3 + 2] = cv[(int64_t)i * 3 + 2];
+    }
+  }
+  return 1;
+}
+
 int sdfa_n_free() { return g_target.valid ? g_target.n_free : -1; }
 
 int sdfa_n_tris() { return g_target.valid ? g_target.n_tris : -1; }

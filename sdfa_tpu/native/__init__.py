@@ -49,6 +49,13 @@ def _load():
     lib.sdfa_get_mesh_from_dgrad.argtypes = [c_float_p, ctypes.c_int,
                                              c_double_p, c_double_p]
     lib.sdfa_get_mesh_from_dgrad.restype = ctypes.c_int
+    lib.sdfa_get_deform_mat.argtypes = [c_double_p, c_double_p, ctypes.c_int,
+                                        c_int64_p, ctypes.c_int,
+                                        ctypes.c_double, c_float_p]
+    lib.sdfa_get_deform_mat.restype = ctypes.c_int
+    lib.sdfa_get_mesh_from_dm.argtypes = [c_float_p, ctypes.c_int,
+                                          c_double_p, c_double_p]
+    lib.sdfa_get_mesh_from_dm.restype = ctypes.c_int
     lib.sdfa_n_free.restype = ctypes.c_int
     lib.sdfa_n_tris.restype = ctypes.c_int
     _lib = lib
@@ -122,3 +129,49 @@ def get_meshes(dgrad, n_verts: int, cnst_verts: Optional[np.ndarray] = None) -> 
 def get_mesh(deform_grad, n_verts: int, vert_cnsts=None, **_) -> np.ndarray:
     """Single-frame surface matching the reference call site (frame.py:129)."""
     return get_meshes(deform_grad, n_verts, vert_cnsts)
+
+
+def get_deform_mat(verts_a, verts_b, faces, eps: float = 1e-6) -> np.ndarray:
+    """Raw per-triangle affine transforms (n_tris, 9) row-major; degenerate
+    triangles emit identity (reference get_deform_mat, pybind.cpp:137-144)."""
+    lib = _load()
+    a = np.ascontiguousarray(np.asarray(verts_a, np.float64).reshape(-1, 3))
+    b = np.ascontiguousarray(np.asarray(verts_b, np.float64).reshape(-1, 3))
+    faces = np.ascontiguousarray(np.asarray(faces, np.int64).reshape(-1, 3))
+    out = np.empty((len(faces), 9), np.float32)
+    ok = lib.sdfa_get_deform_mat(_dptr(a), _dptr(b), len(a), _iptr(faces),
+                                 len(faces), eps, _fptr(out))
+    assert ok, "get_deform_mat failed"
+    return out
+
+
+def get_meshes_from_dm(dmat, n_verts: int,
+                       cnst_verts: Optional[np.ndarray] = None) -> np.ndarray:
+    """Batched mesh reconstruction from raw matrices (reference
+    get_mesh_from_dm, pybind.cpp:145-152): (F?, n_tris·9) → (F?, n_verts, 3)."""
+    lib = _load()
+    n_tris = lib.sdfa_n_tris()
+    assert n_tris > 0, "set_target must be called first"
+    dmat = np.ascontiguousarray(np.asarray(dmat, np.float32))
+    frame_floats = n_tris * 9
+    assert dmat.size % frame_floats == 0, (
+        f"dmat size {dmat.size} is not a multiple of n_tris*9={frame_floats}"
+    )
+    squeeze = dmat.size == frame_floats and dmat.ndim <= 3
+    dmat = dmat.reshape(-1, frame_floats)
+    out = np.empty((len(dmat), n_verts, 3), np.float64)
+    cv = None
+    if cnst_verts is not None and len(cnst_verts):
+        cv = np.ascontiguousarray(np.asarray(cnst_verts, np.float64).reshape(-1, 3))
+    ok = lib.sdfa_get_mesh_from_dm(
+        _fptr(dmat), len(dmat),
+        _dptr(cv) if cv is not None else ctypes.cast(None, ctypes.POINTER(ctypes.c_double)),
+        _dptr(out),
+    )
+    assert ok, "get_mesh_from_dm failed (set_target not called?)"
+    return out[0] if squeeze else out
+
+
+def get_mesh_from_dm(dmat, n_verts: int, vert_cnsts=None, **_) -> np.ndarray:
+    """Single-frame raw-matrix reconstruction (pybind.cpp:145-152)."""
+    return get_meshes_from_dm(dmat, n_verts, vert_cnsts)

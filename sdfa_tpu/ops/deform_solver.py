@@ -214,6 +214,60 @@ def solve_fn(
     return out
 
 
+def solve_mat_fn(
+    consts: DeformConsts,
+    dmat: jnp.ndarray,
+    cnst_verts: jnp.ndarray,
+    *,
+    spec: SolverSpec,
+    out_layout: str = "v3",
+) -> jnp.ndarray:
+    """Solve from RAW per-triangle affine matrices instead of packed dgrads
+    (reference getMeshFromDeformationMatrix, deform_triangle_impl.hpp:383-440).
+
+    dmat: (..., F, 3, 3) or (..., F·9), row-major per triangle — exactly what
+    ``dgrad_ops.deformation_matrices`` / ``get_deform_mat`` produce. The
+    reference reads the row-major buffer as col-major (:396-398), i.e. the
+    least-squares rows are Tᵀ — the same convention as the dgrad path here.
+    """
+    if dmat.shape[-1] == 3 and dmat.shape[-2] == 3:
+        dmat_flat = dmat.reshape(dmat.shape[:-3] + (spec.n_tris * 9,))
+    else:
+        dmat_flat = dmat
+    # t[d][c] = T[d, c] as component planes (minor dim n_tris — layout rule)
+    t = [[dmat_flat[..., (3 * d + c)::9] for c in range(3)] for d in range(3)]
+    if not spec.identity_eq:
+        src = jnp.clip(consts.eq_src, 0, None)
+        ident = (consts.eq_src < 0)
+        t = [[jnp.where(ident, 1.0 if i == j else 0.0,
+                        jnp.take(t[i][j], src, axis=-1))
+              for j in range(3)] for i in range(3)]
+    xs = []
+    for dd in range(3):
+        acc = None
+        for c in range(3):
+            p_c = consts.p[:, c::3]
+            term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
+            acc = term if acc is None else acc + term
+        xs.append(acc)
+    x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
+    if spec.n_cnsts > 0:
+        corr = jnp.matmul(consts.par, cnst_verts, precision=_PREC)
+        x = x - corr.T
+    batch_shape = x.shape[:-2]
+    out = jnp.zeros(batch_shape + (3, spec.n_verts), x.dtype)
+    out = out.at[..., consts.free_ids].set(x)
+    if spec.n_cnsts > 0:
+        out = out.at[..., consts.cnst_ids].set(
+            jnp.broadcast_to(cnst_verts.T, batch_shape + (3, spec.n_cnsts))
+        )
+    if out_layout == "3v":
+        return out
+    if out_layout == "flat":
+        return jnp.swapaxes(out, -1, -2).reshape(batch_shape + (spec.n_verts * 3,))
+    return jnp.swapaxes(out, -1, -2)
+
+
 def _gram_schmidt_qr(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Column-wise Gram-Schmidt with the reference's degeneracy branch
     (deform_triangle_impl.hpp _qrFactorize, EPSILON=1e-6)."""
@@ -449,6 +503,52 @@ class DeformationSolver:
             )
         c = self.template_cnst_dev if cnst_verts is None else jnp.asarray(cnst_verts, self._dtype)
         return self._jit_cache[key](self.consts, dgrad, c)
+
+    # ------------------------------------------------------------------
+    def solve_from_matrices(
+        self, dmat: jnp.ndarray, cnst_verts: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """Raw matrices (..., F, 3, 3) row-major → vertices (..., V, 3)
+        (reference get_mesh_from_dm, pybind.cpp:137-152)."""
+        dmat = jnp.asarray(dmat, self._dtype)
+        if dmat.ndim >= 2 and dmat.shape[-1] == 9:
+            dmat = dmat.reshape(dmat.shape[:-2] + (self.n_tris, 3, 3))
+        if dmat.ndim == 2:  # (F·3, 3) row-major block stack, like the C ABI
+            dmat = dmat.reshape(self.n_tris, 3, 3)
+        key = ("dmat",)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                functools.partial(solve_mat_fn, spec=self.spec)
+            )
+        c = self.template_cnst_dev if cnst_verts is None else jnp.asarray(cnst_verts, self._dtype)
+        return self._jit_cache[key](self.consts, dmat, c)
+
+    def solve_host_from_matrices(
+        self, dmat: np.ndarray, cnst_verts: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """float64 oracle for the matrix variant: least-squares rows are Tᵀ
+        (the reference's col-major read of the row-major buffer,
+        deform_triangle_impl.hpp:396-398)."""
+        dmat = np.asarray(dmat, np.float64).reshape(-1, 3, 3)
+        assert dmat.shape[0] == self.n_tris
+        tt = np.swapaxes(dmat, -1, -2)
+        d = np.zeros((3 * self.n_eqs, 3))
+        for k in range(self.n_eqs):
+            src = self._eq_src[k]
+            d[3 * k : 3 * k + 3] = np.eye(3) if src < 0 else tt[src]
+        if self.n_cnsts > 0:
+            c = (
+                self.template_verts[self.cnst_indices]
+                if cnst_verts is None
+                else np.asarray(cnst_verts, np.float64).reshape(-1, 3)
+            )
+            d = d - self._ar @ c
+        x = self._lu.solve(self._at @ d)
+        out = np.zeros((self.n_verts, 3))
+        out[self.free_ids] = x
+        if self.n_cnsts > 0:
+            out[self.cnst_indices] = c
+        return out
 
     # ------------------------------------------------------------------
     def solve_host(self, dgrad: np.ndarray, cnst_verts: Optional[np.ndarray] = None) -> np.ndarray:

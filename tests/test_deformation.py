@@ -190,6 +190,55 @@ class TestSolver:
         single = np.asarray(solver.solve(d[2]))
         np.testing.assert_allclose(out[2], single, atol=1e-5)
 
+    # -- matrix variants (reference get_deform_mat/get_mesh_from_dm,
+    #    deform_triangle_impl.hpp:313-440, pybind.cpp:137-152) -----------
+    def test_matrix_roundtrip(self, solver, flame):
+        """deform → raw matrices → solve_from_matrices recovers the mesh."""
+        verts, faces = flame
+        deformed = _smooth_deform(verts, seed=11)
+        deformed[solver.cnst_indices] = verts[solver.cnst_indices]
+        dm = np.asarray(dgrad_ops.deformation_matrices(
+            jnp.asarray(verts), jnp.asarray(deformed), jnp.asarray(faces)))
+        out_host = solver.solve_host_from_matrices(dm)
+        err = np.abs(out_host - deformed).max()
+        assert err < 1e-5, f"host dm roundtrip err {err}"
+        out_dev = np.asarray(solver.solve_from_matrices(dm.astype(np.float32)))
+        err_dev = np.abs(out_dev - deformed).max()
+        assert err_dev < 1e-4, f"device dm roundtrip err {err_dev}"
+
+    def test_matrix_path_equals_dgrad_path(self, solver, flame):
+        """The dm solve with T = exp(skew)·S must equal the dgrad solve —
+        cross-checks the transpose convention against the packed path."""
+        verts, faces = flame
+        deformed = _smooth_deform(verts, seed=12)
+        deformed[solver.cnst_indices] = verts[solver.cnst_indices]
+        from sdfa_tpu.ops import deformation_gradients_np
+        g64 = deformation_gradients_np(verts, deformed, faces)
+        tt = solver._transforms_t_np(g64)          # (F, 3, 3) = Tᵀ
+        dm = np.swapaxes(tt, -1, -2)               # row-major T
+        via_dm = solver.solve_host_from_matrices(dm)
+        via_dg = solver.solve_host(g64)
+        np.testing.assert_allclose(via_dm, via_dg, atol=1e-9)
+
+    def test_matrix_batched_and_flat_inputs(self, solver):
+        rng = np.random.default_rng(13)
+        dm = (np.tile(np.eye(3), (3, 9976, 1, 1))
+              + rng.uniform(-0.01, 0.01, (3, 9976, 3, 3))).astype(np.float32)
+        out = np.asarray(solver.solve_from_matrices(dm))
+        assert out.shape == (3, 5023, 3)
+        flat = np.asarray(solver.solve_from_matrices(dm.reshape(3, -1, 9)))
+        np.testing.assert_allclose(out, flat, atol=0)
+
+    def test_degenerate_triangle_emits_identity_matrix(self, flame):
+        verts, faces = flame
+        bad = np.asarray(verts).copy()
+        # collapse the first triangle of the mesh to a line
+        f0 = faces[0]
+        bad[f0[2]] = bad[f0[0]] + 2.0 * (bad[f0[1]] - bad[f0[0]])
+        dm = np.asarray(dgrad_ops.deformation_matrices(
+            jnp.asarray(bad), jnp.asarray(bad), jnp.asarray(faces)))
+        np.testing.assert_allclose(dm[0], np.eye(3), atol=0)
+
     @staticmethod
     def _extract_f64(src, dst, faces):
         """float64 numpy extraction twin (oracle-grade)."""

@@ -79,6 +79,46 @@ class TestNative:
         out = native.get_mesh(np.zeros(9976 * 9, np.float32), n_verts=5023)
         assert np.abs(out - verts).max() < 1e-6
 
+    # -- matrix variants (reference pybind.cpp:137-152) -------------------
+    def test_deform_mat_roundtrip(self, flame, cnst):
+        """get_mesh_from_dm(get_deform_mat(a, b)) ≈ b — the reference's
+        own pairing of the raw-matrix surface."""
+        verts, faces = flame
+        native.set_target(verts, faces, cnst)
+        deformed = _deform(verts, seed=6)
+        deformed[cnst] = verts[cnst]
+        dm = native.get_deform_mat(verts, deformed, faces)
+        assert dm.shape == (9976, 9)
+        out = native.get_mesh_from_dm(dm, n_verts=5023)
+        err = np.abs(out - deformed).max()
+        assert err < 1e-4, f"dm roundtrip err {err}"
+
+    def test_deform_mat_matches_jax_and_solver(self, flame, cnst):
+        verts, faces = flame
+        native.set_target(verts, faces, cnst)
+        deformed = _deform(verts, seed=7)
+        deformed[cnst] = verts[cnst]
+        dm = native.get_deform_mat(verts, deformed, faces)
+        # vs the JAX extraction
+        import jax.numpy as jnp
+        from sdfa_tpu.ops import dgrad as dgrad_ops
+        dm_jax = np.asarray(dgrad_ops.deformation_matrices(
+            jnp.asarray(verts), jnp.asarray(deformed), jnp.asarray(faces),
+        )).reshape(-1, 9)
+        np.testing.assert_allclose(dm, dm_jax, atol=5e-5)
+        # vs the scipy f64 oracle solve
+        solver = DeformationSolver(verts, faces, cnst_indices=cnst)
+        oracle = solver.solve_host_from_matrices(dm.astype(np.float64))
+        out = native.get_mesh_from_dm(dm, n_verts=5023)
+        assert np.abs(out - oracle).max() < 1e-6
+
+    def test_identity_matrices_recover_template(self, flame, cnst):
+        verts, faces = flame
+        native.set_target(verts, faces, cnst)
+        ident = np.tile(np.eye(3, dtype=np.float32).reshape(-1), (9976, 1))
+        out = native.get_mesh_from_dm(ident, n_verts=5023)
+        assert np.abs(out - verts).max() < 1e-6
+
 
 class TestSanitizeBuild:
     def test_asan_variant_compiles(self):
