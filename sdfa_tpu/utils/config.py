@@ -159,10 +159,13 @@ class ConfigDict(dict):
 
     def dump(self, path: str):
         with open(path, "w") as fp:
-            json.dump(self.to_plain(), fp, indent=2, default=str)
+            fp.write(dumps_pretty(self.to_plain()))
 
     def dumps(self) -> str:
-        return json.dumps(self.to_plain(), indent=2, default=str)
+        return dumps_pretty(self.to_plain())
+
+    def __str__(self) -> str:
+        return dumps_pretty(self.to_plain())
 
     # -- loading -------------------------------------------------------------------
     @staticmethod
@@ -187,3 +190,100 @@ class ConfigDict(dict):
             with open(path) as fp:
                 return ConfigDict(json.load(fp))
         raise ValueError(f"unsupported config extension: {ext}")
+
+
+# -- width-aware pretty JSON -----------------------------------------------------
+def dumps_pretty(data, indent: int = 2, max_width: int = 120) -> str:
+    """Width-aware JSON pretty-printer.
+
+    Matches the reference encoder's observable behavior
+    (saber/utils/config_dict.py:252-519): dicts print one key per line at
+    ``indent``; a list collapses onto a single line when it fits within
+    ``max_width`` minus its indentation and the dict-key prefix, otherwise
+    it wraps greedily packing several items per line. Layer-spec tables
+    stay one-row-per-layer instead of exploding one-scalar-per-line.
+    Output is asserted byte-identical to the imported reference module in
+    tests/test_utils.py.
+    """
+    pad1 = " " * indent
+
+    def _key(k) -> str:
+        if isinstance(k, str):
+            return k
+        if k is True:
+            return "true"
+        if k is False:
+            return "false"
+        if k is None:
+            return "null"
+        if isinstance(k, (int, np.integer)):
+            return int.__str__(int(k))
+        if isinstance(k, (float, np.floating)):
+            return _float_tok(float(k))
+        raise TypeError(f"key {k!r} is not a string")
+
+    def _float_tok(v: float) -> str:
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return float.__repr__(v)
+
+    def _scalar_tok(v):
+        if isinstance(v, str):
+            return json.dumps(v)
+        if v is None:
+            return "null"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, (int, np.integer)):
+            return int.__str__(int(v))
+        if isinstance(v, (float, np.floating)):
+            return _float_tok(float(v))
+        return None
+
+    def _render(v, level: int, key_width: int = 0) -> str:
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        tok = _scalar_tok(v)
+        if tok is not None:
+            return tok
+        if isinstance(v, dict):
+            if not v:
+                return "{}"
+            inner = pad1 * (level + 1)
+            parts = []
+            for k, val in v.items():
+                key_tok = json.dumps(_key(k)) + ": "
+                parts.append(key_tok + _render(val, level + 1, len(key_tok)))
+            return ("{\n" + inner + (",\n" + inner).join(parts)
+                    + "\n" + pad1 * level + "}")
+        if isinstance(v, (list, tuple)):
+            if not len(v):
+                return "[]"
+            children = [_render(x, level + 1) for x in v]
+            inner_w = indent * (level + 1)
+            one_line = "[" + ",".join(children) + "]"
+            if len(one_line) <= max_width - inner_w - key_width:
+                return one_line
+            # greedy wrap: fill each line up to max_width, separator stays
+            # on the line it follows
+            inner = " " * inner_w
+            lines, cur = [], ""
+            for child in children:
+                cand = (cur + "," + child) if cur else child
+                if len(cand) < max_width - inner_w:
+                    cur = cand
+                else:
+                    lines.append(inner + cur + ",")
+                    cur = child
+            lines.append(inner + cur)
+            return "[\n" + "\n".join(lines) + "\n" + pad1 * level + "]"
+        # unknown leaf: stringify, like json.dumps(default=str)
+        return json.dumps(str(v))
+
+    return _render(data, 0)

@@ -167,6 +167,7 @@ class TestPipeline:
         ds._fps = 60.0
         ds._ts_delta = 100.0
         ds._frame_stores = {}
+        ds._pca_targets = False
         ds.sample_to_ms = lambda s: s * 1000.0 / 8000.0
         start_ts = float(row["start_ts:float"])
         assert start_ts != 0.0

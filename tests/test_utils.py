@@ -100,3 +100,77 @@ class TestStream:
         seq = np.array([0.0, 10.0])
         out = stream.seek_subseq(3, 0.0, 5.0, ts, seq)
         np.testing.assert_allclose(out, [0.0, 5.0, 10.0])
+
+
+class TestWidthAwareDumper:
+    """dumps_pretty == the reference's MyJsonEncoder byte-for-byte
+    (saber/utils/config_dict.py:252-519), asserted against the imported
+    reference module, not a re-implementation of the expectation."""
+
+    @pytest.fixture(scope="class")
+    def ref_encoder(self):
+        import importlib.util
+        import sys
+
+        name = "_ref_config_dict"
+        if name not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                name, "/root/reference/saber/utils/config_dict.py")
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[name] = mod
+            spec.loader.exec_module(mod)
+        return sys.modules[name].MyJsonEncoder
+
+    def _assert_match(self, ref_encoder, data, **kw):
+        from sdfa_tpu.utils.config import dumps_pretty
+
+        ref = json.dumps(data, cls=ref_encoder, indent=2, **kw)
+        got = dumps_pretty(data, **kw)
+        assert got == ref, f"\n--- ref ---\n{ref}\n--- got ---\n{got}"
+
+    def test_layer_spec_table(self, ref_encoder):
+        data = {
+            "layers": [
+                ["permute", [0, 3, 2, 1]],
+                ["conv2d", 3, 32, [3, 1], [1, 1], "act=lrelu@a:0.2",
+                 "batch_norm={'momentum': 0.01, 'eps': 0.001}"],
+                ["freq-lstm", 64, 32, "hidden_size=128", "output_size=256"],
+                ["lstm", 256, 256, "num_layers=2", "bidirectional=True"],
+            ],
+        }
+        self._assert_match(ref_encoder, data)
+
+    def test_long_flat_list_wraps_greedily(self, ref_encoder):
+        self._assert_match(ref_encoder, {"xs": list(range(200))})
+        self._assert_match(ref_encoder, {"xs": [float(i) / 3 for i in range(80)]})
+
+    def test_scalars_nesting_and_empties(self, ref_encoder):
+        data = {
+            "i": 7, "f": 1.5, "s": "text", "none": None, "t": True, "fa": False,
+            "empty_list": [], "empty_dict": {},
+            "nested": {"deep": {"list": [[1, 2], [3, 4]], "mix": [1, "a", None]}},
+        }
+        self._assert_match(ref_encoder, data)
+
+    def test_numpy_values(self, ref_encoder):
+        data = {"arr": np.arange(6).astype(np.float64).reshape(2, 3),
+                "vec": np.linspace(0, 1, 40)}
+        self._assert_match(ref_encoder, data)
+
+    def test_max_width_kwarg(self, ref_encoder):
+        data = {"xs": list(range(40)), "layers": [["fc", 520, 512], ["fc", 512, 85]]}
+        self._assert_match(ref_encoder, data, max_width=60)
+        self._assert_match(ref_encoder, data, max_width=200)
+
+    def test_shipped_config_dump_roundtrip(self, ref_encoder, tmp_path):
+        """The actual resolved dgrad hparams tree dumps identically and
+        loads back equal."""
+        from _assets import ensure_pca_assets
+        from sdfa_tpu.tools import configure
+
+        hp = configure("dgrad", dataset_root=ensure_pca_assets())
+        data = hp.to_plain()
+        self._assert_match(ref_encoder, data)
+        p = str(tmp_path / "hp.json")
+        hp.dump(p)
+        assert ConfigDict.parse_file(p).to_plain() == data
