@@ -195,6 +195,22 @@ class SpeechDrivenAnimation(nn.Module):
         )
         return jnp.moveaxis(z_frames[0], taxis - 1, 0)  # time-first
 
+    def encode_frames_batch(self, clip_feats):
+        """Batched ``encode_frames``: (B, T_total, F, C) → (B, T_total, …).
+
+        Runs the per-frame prefix over several clips' frame grids in one
+        call — the freq-LSTM scan then recurs with B·T_total rows per step
+        instead of T_total, which fills the MXU at serving batch sizes.
+        Identical math to encode_frames per clip (tests/test_overlap_path)."""
+        split, taxis = encoder_overlap_split(self.encoder_specs, self.weight_norm)
+        assert split > 0, (
+            "encoder has no time-independent prefix — use the per-window path"
+        )
+        z_frames, _ = self.audio_encoder(
+            clip_feats, condition=None, training=False, stop=split
+        )
+        return jnp.moveaxis(z_frames, taxis, 1)  # (B, T_total, …)
+
     def forward_windows(self, z_frames, frame_idx, speaker_id=None):
         """Temporal suffix per window: gather each window's frame slice from
         the clip-level prefix output, then biLSTM/attention + output heads.

@@ -152,6 +152,28 @@ def test_overlap_path_bounded_divergence(hp):
     assert diff.mean() < 5e-5, diff.mean()
 
 
+def test_encode_frames_batch_matches_single(hp):
+    """encode_frames_batch (B clips in one prefix call — the serving/bench
+    cross-clip batching path) == encode_frames per clip."""
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False,
+    )
+    feats = jnp.asarray(
+        np.random.default_rng(3).normal(size=(3, 90, 128, 3)), jnp.float32)
+    z_b = model.apply(variables, feats,
+                      method=SpeechDrivenAnimation.encode_frames_batch)
+    assert z_b.shape[:2] == (3, 90)
+    for i in range(3):
+        z_i = model.apply(variables, feats[i],
+                          method=SpeechDrivenAnimation.encode_frames)
+        np.testing.assert_allclose(np.asarray(z_b[i]), np.asarray(z_i),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_task_overlap_mode_matches_exact(hp):
     """AnimationTask(overlap_frontend=True) = same timeline, bounded anime
     divergence, same `others` surface, ensembling works."""
