@@ -86,12 +86,16 @@ def _formant_utterance(sr: int, seconds: float = 3.0) -> np.ndarray:
     return np.clip(out, -1.0, 1.0).astype(np.float32)
 
 
-def _realism() -> dict:
+def _realism(pipeline, consts, starts, seconds, n_clips) -> dict:
     """Train a checkpoint CI-fashion on the synthetic dataset, run the full
     trained pipeline on a synthesized utterance, and report the max
     per-vertex error of the device solve vs the float64 host oracle
-    (VERDICT r1 #9). Assets and the checkpoint are cached under /tmp so the
-    driver's repeat runs pay training once."""
+    (VERDICT r1 #9) plus the trained-model throughput.
+
+    Throughput reuses the ALREADY-COMPILED batched pipeline — the trained
+    checkpoint has the same tree structure as the random-init variables, so
+    no second multi-minute compile. Assets and the checkpoint are cached
+    under /tmp so repeat runs pay training once."""
     import jax
     import jax.numpy as jnp
 
@@ -125,24 +129,45 @@ def _realism() -> dict:
         "batch_stats": jax.device_get(exp.state.batch_stats),
         "constants": jax.device_get(exp.state.constants),
     }
-    task = AnimationTask(hp, model, variables)
+    exp = None  # free the restored device-side state
 
     sr = int(hp.audio.sample_rate)
-    seconds = float(os.environ.get("BENCH_REALISM_SECONDS", 3.0))
-    signal = _formant_utterance(sr, seconds)
+    signal = _formant_utterance(sr, min(seconds, 3.0))
     signal = audio_lib.rms.normalize(
         signal, hp.dataset_anime.get("audio_target_db", -24.5))
+    # pad to the throughput clips' length so the compiled pipeline is reused
+    clip_len = int(seconds * sr)
+    padded = np.zeros(clip_len, np.float32)
+    padded[: len(signal)] = signal[:clip_len]
+    batch = jnp.asarray(np.broadcast_to(padded, (n_clips, clip_len)).copy())
+    trained_vars = jax.tree_util.tree_map(jnp.asarray, variables)
 
-    _, animes, _ = task.generate_animation(signal, 0)  # warmup/compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, animes, _ = task.generate_animation(signal, 0)
-        times.append(time.perf_counter() - t0)
-    x_rt = seconds / sorted(times)[1]
+    # trained throughput can exhaust HBM when phase-1 buffers linger (the
+    # 64-clip working set is ~1/3 of a v5e) — degrade to parity-only rather
+    # than sinking the whole realism line
+    x_rt = None
+    try:
+        out = pipeline(trained_vars, consts, batch, starts)  # warmup (cache hit)
+        _ = np.asarray(out[:1, :, :8])
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = pipeline(trained_vars, consts, batch, starts)
+            _ = np.asarray(out[:1, :, :8])
+            times.append(time.perf_counter() - t0)
+        x_rt = round(seconds * n_clips / sorted(times)[1], 2)
+    except Exception as e:
+        print(f"[bench] trained-throughput sub-step skipped: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+    out = None
+    batch = None
+    trained_vars = None
 
     # parity: device f32 solve vs float64 host SuperLU oracle on the SAME
-    # trained dgrad frames (north-star error budget: < 1e-4 m)
+    # trained dgrad frames (north-star error budget: < 1e-4 m), produced
+    # through the real serving API (AnimationTask)
+    task = AnimationTask(hp, model, variables)
+    _, animes, _ = task.generate_animation(signal, 0)
     solver = frame_mod.set_template_mesh()
     idx = np.linspace(0, len(animes) - 1, 8).astype(int)
     dg = np.asarray(animes[idx], np.float32).reshape(len(idx), -1, 9)
@@ -156,7 +181,7 @@ def _realism() -> dict:
         "value": err,
         "unit": "meters",
         "vs_baseline": round(1e-4 / max(err, 1e-30), 2),
-        "trained_x_realtime": round(x_rt, 2),
+        "trained_x_realtime": x_rt,
         "train_steps": steps,
         "frames_checked": int(len(idx)),
     }
@@ -182,7 +207,7 @@ def main():
     # a serving batch of BENCH_CLIPS clips runs through the full pipeline in
     # one jitted call — batching amortizes per-call dispatch and fills the MXU.
     seconds = float(os.environ.get("BENCH_SECONDS", 4.0))
-    n_clips = int(os.environ.get("BENCH_CLIPS", 32))
+    n_clips = int(os.environ.get("BENCH_CLIPS", 64))
     root = _ensure_pca("/tmp/bench_assets")
     hp = configure("dgrad", dataset_root=root)
     model = build_model(hp, load_pca=True)
@@ -224,26 +249,35 @@ def main():
     frame_idx = jnp.asarray(frame_idx_np)
     from sdfa_tpu.models.sdfa import SpeechDrivenAnimation
 
-    chunk = int(os.environ.get("BENCH_CHUNK", 8))
+    # one group (= the whole serving batch) measured fastest: 32 clips
+    # 307×@chunk8 → 510×@chunk32; 64 clips → 630×@chunk64. 128-clip
+    # programs fail at the tunnel's remote-compile helper (HTTP 500), so 64
+    # is the qualified ceiling. Set BENCH_CHUNK to bound peak memory.
+    chunk = int(os.environ.get("BENCH_CHUNK", 0)) or n_clips
     while n_clips % chunk:
         chunk -= 1
 
-    def one_clip_exact(variables, consts, sig, starts):
-        feats = audio_pipeline.window_features_device(sig, starts, wspec)
+    def exact_group(variables, consts, sig_group, starts):
+        # strict per-window semantics (per-window signal zero-pad, frontend
+        # recomputed per window), batched across the group's clips
+        feats = jax.vmap(
+            lambda s: audio_pipeline.window_features_device(s, starts, wspec)
+        )(sig_group)                                  # (K, W, T, F, 3)
+        feats = feats.reshape((-1,) + feats.shape[2:])
         spk = jnp.zeros((feats.shape[0],), jnp.int32)
         preds, _, _ = model.apply(variables, feats, spk, False)
-        anime = model.decode_to_anime(variables, preds)  # (W, 1, 89784)
+        anime = model.decode_to_anime(variables, preds)  # (K·W, 1, 89784)
         verts = solve_fn(consts, anime[:, 0], consts.template_cnst,
                          spec=spec, out_layout="3v")
-        return verts  # (W, 3, V)
+        return verts  # (K·W, 3, V)
 
     def pipeline_fn(variables, consts, signals, starts):
         if not use_overlap:
-            # sequential over clips INSIDE one call: amortizes dispatch
-            # without blowing peak memory up to the all-clips batch
+            # group-sequential INSIDE one call: amortizes dispatch without
+            # blowing peak memory up to the all-clips batch
             out = jax.lax.map(
-                lambda sig: one_clip_exact(variables, consts, sig, starts),
-                signals)
+                lambda grp: exact_group(variables, consts, grp, starts),
+                signals.reshape(n_clips // chunk, chunk, -1))
             return out.reshape((-1,) + out.shape[2:])  # (C·W, 3, V)
 
         # stage 1: frontend + per-frame prefix, one batched call per group
@@ -308,8 +342,11 @@ def main():
     # realism line (trained checkpoint + f64-oracle parity) prints BEFORE
     # the headline — the driver records the last JSON line
     if os.environ.get("BENCH_REALISM", "1") == "1":
+        out = None      # free phase-1 device buffers (result + signals):
+        sig_dev = None  # the 64-clip working set is a large HBM fraction
         try:
-            print(json.dumps(_realism()), flush=True)
+            print(json.dumps(_realism(fn, consts, starts, seconds, n_clips)),
+                  flush=True)
         except Exception as e:  # never let realism sink the headline
             print(f"[bench] realism phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
