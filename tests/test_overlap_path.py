@@ -174,6 +174,61 @@ def test_encode_frames_batch_matches_single(hp):
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_flat_multiclip_window_table_matches_per_clip(hp):
+    """The serving/bench cross-clip batching: windows gathered from a FLAT
+    concatenated frame table with c·T_total offsets == per-clip
+    forward_overlap. Proves clip boundaries are never crossed."""
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False,
+    )
+    sr = int(hp.audio.sample_rate)
+    rng_np = np.random.default_rng(5)
+    n_clips = 3
+    t = np.arange(int(1.2 * sr)) / sr
+    signals = np.stack([
+        (0.3 * np.sin(2 * np.pi * (120 + 40 * k) * t)).astype(np.float32)
+        for k in range(n_clips)
+    ]) + rng_np.normal(0, 0.01, (n_clips, len(t))).astype(np.float32)
+
+    wspec = ap.WindowSpec(hp)
+    frame_idx_np, _, pad_l, pad_r, t_total = wspec.frame_grid(signals.shape[1])
+    frame_idx = jnp.asarray(frame_idx_np)
+    W = len(frame_idx_np)
+    spk1 = jnp.zeros((W,), jnp.int32)
+
+    # per-clip reference
+    refs = []
+    for k in range(n_clips):
+        clip_feat = ap.clip_frame_features_device(
+            jnp.asarray(signals[k]), wspec, pad_l, pad_r)
+        preds, _, _ = model.apply(
+            variables, clip_feat, frame_idx, spk1, False,
+            method=SpeechDrivenAnimation.forward_overlap)
+        refs.append(np.asarray(model.decode_to_anime(variables, preds)[:, 0]))
+    ref = np.stack(refs)  # (C, W, D)
+
+    # flat multi-clip table (the bench pipeline's stage 1+2)
+    feats = jax.vmap(
+        lambda s: ap.clip_frame_features_device(s, wspec, pad_l, pad_r)
+    )(jnp.asarray(signals))
+    z = model.apply(variables, feats,
+                    method=SpeechDrivenAnimation.encode_frames_batch)
+    assert z.shape[:2] == (n_clips, t_total)
+    z_flat = z.reshape((n_clips * t_total,) + z.shape[2:])
+    idx = (jnp.arange(n_clips, dtype=jnp.int32)[:, None, None] * t_total
+           + frame_idx[None]).reshape(n_clips * W, -1)
+    spk = jnp.zeros((n_clips * W,), jnp.int32)
+    preds, _, _ = model.apply(variables, z_flat, idx, spk,
+                              method=SpeechDrivenAnimation.forward_windows)
+    got = np.asarray(model.decode_to_anime(variables, preds)[:, 0])
+    np.testing.assert_allclose(got.reshape(n_clips, W, -1), ref,
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_task_overlap_mode_matches_exact(hp):
     """AnimationTask(overlap_frontend=True) = same timeline, bounded anime
     divergence, same `others` surface, ensembling works."""
