@@ -86,6 +86,7 @@ class AnimationTask:
 
         self._encode_frames = jax.jit(encode_frames)
         self._fwd_windows = jax.jit(fwd_windows)
+        self._verts_jit = None  # lazily-built fused anime→vertices path
 
     def _wspec(self):
         from .audio.pipeline import _spec_cache
@@ -106,11 +107,13 @@ class AnimationTask:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
             spk = jnp.full((self.bs,), speaker_id, jnp.int32)
             anime, z, align = self._fwd(self.variables, jnp.asarray(chunk), spk)
-            anime = np.asarray(anime)[: self.bs - pad if pad else self.bs]
+            keep = self.bs - pad if pad else self.bs
+            # device-side slice: don't download padded rows
+            anime = np.asarray(anime[:keep])
             animes.append(anime[:, 0])  # squeeze T=1
-            zs.append(np.asarray(z)[: len(anime), 0])
+            zs.append(np.asarray(z[:keep, 0]))
             if align:
-                aligns.append(np.asarray(list(align.values())[0])[: len(anime), 0])
+                aligns.append(np.asarray(list(align.values())[0][:keep, 0]))
             inputs.append(chunk[: len(anime)])
         others = dict(
             inputs=np.concatenate(inputs) if inputs else None,
@@ -123,8 +126,13 @@ class AnimationTask:
 
     # ------------------------------------------------------------------
     def feature_to_anime_overlap(self, signal: np.ndarray, speaker_id: int):
-        """Overlap fast path: clip-level prefix once, windowed suffix in
-        bs-chunks. Returns (tslist, animes (W, D), others)."""
+        """Overlap fast path: clip-level prefix once, then the windowed
+        suffix over ALL the clip's windows in one call (padded to a
+        256-window bucket so jit recompiles per bucket, not per length) —
+        the sequential biLSTM scans step with the whole window batch, which
+        fills the MXU (DESIGN.md §12; 100-window chunks leave it idle).
+        SDFA_MAX_WINDOW_BATCH caps the per-call batch for small-memory
+        devices. Returns (tslist, animes (W, D), others)."""
         wspec = self._wspec()
         # bucket the padded length so jit shapes recompile per bucket, not
         # per clip length (trailing zero-pad ≡ the per-window zero-pad)
@@ -134,21 +142,25 @@ class AnimationTask:
         z_frames, clip_feat = self._encode_frames(self.variables, jnp.asarray(padded))
 
         n = len(frame_idx)
+        cap = int(os.environ.get("SDFA_MAX_WINDOW_BATCH", 16384))
+        step = min(-(-n // 256) * 256, cap)  # whole clip, 256-bucketed
         animes, zs, aligns, inputs = [], [], [], []
         clip_feat_np = None
-        for i in range(0, n, self.bs):
-            chunk = frame_idx[i : i + self.bs]
-            pad = self.bs - len(chunk)
+        for i in range(0, n, step):
+            chunk = frame_idx[i : i + step]
+            pad = step - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            spk = jnp.full((self.bs,), speaker_id, jnp.int32)
+            spk = jnp.full((step,), speaker_id, jnp.int32)
             anime, z, align = self._fwd_windows(
                 self.variables, z_frames, jnp.asarray(chunk), spk)
-            keep = self.bs - pad
-            animes.append(np.asarray(anime)[:keep, 0])
-            zs.append(np.asarray(z)[:keep, 0])
+            keep = step - pad
+            # slice on DEVICE before np.asarray: downloading the padded
+            # rows wastes up to a bucket's worth of 89,784-float frames
+            animes.append(np.asarray(anime[:keep, 0]))
+            zs.append(np.asarray(z[:keep, 0]))
             if align:
-                aligns.append(np.asarray(list(align.values())[0])[:keep, 0])
+                aligns.append(np.asarray(list(align.values())[0][:keep, 0]))
             if clip_feat_np is None:
                 clip_feat_np = np.asarray(clip_feat)
             inputs.append(clip_feat_np[chunk[:keep]])  # (keep, T, F, 3)
@@ -217,6 +229,97 @@ class AnimationTask:
             anime_sum = anime_sum + self.feature_to_anime(extra["audio_feat"], speaker)[0]
         animes = anime_sum / float(len(features_tuple))
         return features_tuple[0]["tslist"], animes, others
+
+    # ------------------------------------------------------------------
+    def generate_vertices(
+        self,
+        signal: np.ndarray,
+        speaker,
+        emotion=0,
+        ensembling_ms: Optional[float] = None,
+    ):
+        """signal → (tslist, verts (W, 5023, 3)): the serving-meshes fast
+        path. The anime decode AND the deformation solve stay on device;
+        only vertices cross back to the host — 6× less transfer than
+        returning dgrad frames and re-uploading them to solve
+        (viewer.frames_to_meshes does exactly that round-trip).
+
+        Falls back to generate_animation + frames_to_meshes when the
+        overlap frontend is off or ensembling is requested (both paths are
+        asserted equal in tests/test_task.py)."""
+        from .viewer import frame as frame_mod
+
+        face_type = self.hp.model.face_data_type
+        if ensembling_ms is None:
+            ensembling_ms = self.hp.get("ensembling_ms", 0)
+        if not self.overlap_frontend or (ensembling_ms and ensembling_ms > 0) \
+                or face_type not in ("dgrad_3d", "verts_off_3d", "verts_pos_3d"):
+            tslist, animes, _ = self.generate_animation(
+                signal, speaker, emotion, ensembling_ms=ensembling_ms)
+            verts, _ = frame_mod.frames_to_meshes(animes, face_type)
+            return tslist, verts
+
+        if self._verts_jit is None:
+            model = self.model
+            if face_type == "dgrad_3d":
+                from .ops import solve_fn
+
+                solver = frame_mod.get_solver()  # builds on first use
+                consts, spec = solver.consts, solver.spec
+
+                def fn(variables, consts, z_frames, frame_idx, spk):
+                    preds, _, _ = model.apply(
+                        variables, z_frames, frame_idx, spk,
+                        method=SpeechDrivenAnimation.forward_windows)
+                    anime = model.decode_to_anime(variables, preds)[:, 0]
+                    # flat output layout: (W, V·3) downloads without the
+                    # 128-lane padding a (W, V, 3) device array would pay
+                    return solve_fn(consts, anime, consts.template_cnst,
+                                    spec=spec, out_layout="flat")
+
+                self._verts_jit = (jax.jit(fn), consts)
+            else:
+                from .viewer.frame import template
+
+                tmpl = (jnp.asarray(template()[0], jnp.float32).reshape(-1)
+                        if face_type == "verts_off_3d" else
+                        jnp.zeros((1,), jnp.float32))
+
+                def fn(variables, tmpl, z_frames, frame_idx, spk):
+                    preds, _, _ = model.apply(
+                        variables, z_frames, frame_idx, spk,
+                        method=SpeechDrivenAnimation.forward_windows)
+                    anime = model.decode_to_anime(variables, preds)[:, 0]
+                    if face_type == "verts_off_3d":
+                        anime = anime + tmpl
+                    return anime  # (W, V·3)
+
+                self._verts_jit = (jax.jit(fn), tmpl)
+
+        signal = np.asarray(signal, np.float32).flatten()
+        if isinstance(speaker, str):
+            speaker = dict(self.hp.dataset_anime.speakers)[speaker]
+        wspec = self._wspec()
+        frame_idx, ts_list, pad_l, pad_r, _ = wspec.frame_grid(
+            len(signal), bucket=256)
+        padded = np.pad(signal, (pad_l, pad_r))
+        z_frames, _ = self._encode_frames(self.variables, jnp.asarray(padded))
+
+        fn, consts = self._verts_jit
+        n = len(frame_idx)
+        cap = int(os.environ.get("SDFA_MAX_WINDOW_BATCH", 16384))
+        step = min(-(-n // 256) * 256, cap)
+        chunks = []
+        for i in range(0, n, step):
+            chunk = frame_idx[i : i + step]
+            pad = step - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            spk = jnp.full((step,), speaker, jnp.int32)
+            flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
+            chunks.append(np.asarray(flat[: step - pad]))
+        verts = np.concatenate(chunks).reshape(n, -1, 3)
+        return ts_list, verts
 
     # ------------------------------------------------------------------
     def evaluate(

@@ -149,3 +149,51 @@ class TestTracedRoundTrip:
         ref_task = AnimationTask(hp, model, variables, batch_windows=8)
         want, _ = ref_task.feature_to_anime(feats, speaker_id=1)
         np.testing.assert_array_equal(got, want)
+
+
+class TestGenerateVertices:
+    """generate_vertices (device-fused decode+solve, flat download) equals
+    generate_animation + frames_to_meshes (download dgrads, re-upload,
+    solve) on the shipped flagship model."""
+
+    @pytest.fixture(scope="class")
+    def shipped_task(self):
+        from _assets import ensure_pca_assets
+        from sdfa_tpu.models import build_model
+        from sdfa_tpu.tools import configure
+
+        hp = configure("dgrad", dataset_root=ensure_pca_assets())
+        model = build_model(hp, load_pca=True)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((2, 64, 128, 3), jnp.float32),
+            jnp.zeros((2,), jnp.int32), False)
+        return hp, AnimationTask(hp, model, variables)
+
+    def test_fused_matches_roundtrip(self, shipped_task):
+        from sdfa_tpu.viewer import frame as frame_mod
+
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 150 * t)
+               * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+        ts_v, verts = task.generate_vertices(sig, 0)
+        ts_a, animes, _ = task.generate_animation(sig, 0)
+        assert ts_v == ts_a
+        ref, _ = frame_mod.frames_to_meshes(animes, "dgrad_3d")
+        assert verts.shape == ref.shape == (len(animes), 5023, 3)
+        np.testing.assert_allclose(verts, ref, atol=1e-6)
+
+    def test_fallback_when_overlap_off(self, shipped_task):
+        hp, task = shipped_task
+        from sdfa_tpu.task import AnimationTask as AT
+
+        task_exact = AT(hp, task.model, task.variables, overlap_frontend=False)
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+        ts, verts = task_exact.generate_vertices(sig, 0)
+        assert verts.shape[1:] == (5023, 3) and np.isfinite(verts).all()
