@@ -163,25 +163,37 @@ def _realism(pipeline, consts, starts, seconds, n_clips) -> dict:
     batch = None
     trained_vars = None
 
-    # parity: device f32 solve vs float64 host SuperLU oracle on the SAME
-    # trained dgrad frames (north-star error budget: < 1e-4 m), produced
-    # through the real serving API (AnimationTask)
+    # parity: the FUSED serving surface (AnimationTask.generate_vertices —
+    # decode + solve on device, flat vertex download) vs the float64 host
+    # SuperLU oracle solving the same trained dgrad frames (north-star
+    # error budget: < 1e-4 m). Covers the whole device path a deployment
+    # actually runs: frontend → prefix → windowed suffix → PCA decode →
+    # deformation solve.
     task = AnimationTask(hp, model, variables)
     _, animes, _ = task.generate_animation(signal, 0)
-    solver = frame_mod.set_template_mesh()
+    t0 = time.perf_counter()
+    _, verts_fused = task.generate_vertices(signal, 0)
+    fused_cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, verts_fused = task.generate_vertices(signal, 0)
+    fused_warm_s = time.perf_counter() - t0
+    solver = frame_mod.get_solver()  # reuses the already-built template
     idx = np.linspace(0, len(animes) - 1, 8).astype(int)
     dg = np.asarray(animes[idx], np.float32).reshape(len(idx), -1, 9)
-    verts_dev = np.asarray(solver.solve(jnp.asarray(dg)), np.float64)
     err = 0.0
     for i in range(len(idx)):
         verts_host = solver.solve_host(dg[i].astype(np.float64))
-        err = max(err, float(np.abs(verts_dev[i] - verts_host).max()))
+        err = max(err, float(np.abs(verts_fused[idx[i]] - verts_host).max()))
     return {
         "metric": "trained_e2e_max_vertex_err_vs_host_f64",
         "value": err,
         "unit": "meters",
         "vs_baseline": round(1e-4 / max(err, 1e-30), 2),
         "trained_x_realtime": x_rt,
+        # single-clip serving latency through the fused path, incl. the
+        # tunnel RTT + vertex download (warm = compiled); informational
+        "serving_clip_x_realtime": round(len(signal) / sr / fused_warm_s, 2),
+        "serving_first_call_s": round(fused_cold_s, 2),
         "train_steps": steps,
         "frames_checked": int(len(idx)),
     }
