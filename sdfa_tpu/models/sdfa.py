@@ -295,10 +295,15 @@ class SpeechDrivenAnimation(nn.Module):
 def encoder_overlap_split(encoder_specs, weight_norm: bool):
     """(prefix_len, time_axis) of the encoder's time-independent prefix —
     static per model config, cached on the frozen spec tuple."""
-    from ..nn.spec import _thaw_spec, parse_specs, time_independent_prefix
+    from ..nn.spec import (_suffix_skips_into_prefix, _thaw_spec, parse_specs,
+                           time_independent_prefix)
 
     raw = [list(_thaw_spec(s)) for s in encoder_specs]
-    return time_independent_prefix(parse_specs(raw, weight_norm))
+    parsers = parse_specs(raw, weight_norm)
+    split, taxis = time_independent_prefix(parsers)
+    if _suffix_skips_into_prefix(parsers, split):
+        return 0, taxis  # suffix reads prefix history: run everything per window
+    return split, taxis
 
 
 @functools.lru_cache(maxsize=None)

@@ -201,7 +201,9 @@ class LayerStack(nn.Module):
         path: the time-independent prefix runs once per clip, the temporal
         suffix per window (DESIGN.md §10). skip_connect history indices stay
         absolute (history[i] = input of layer i); a skip that reaches before
-        ``start`` is rejected by ``time_independent_prefix``."""
+        ``start`` is rejected by ``encoder_overlap_split`` (which returns
+        split=0, disabling the overlap path, when a suffix layer's
+        skip_connect points into the prefix)."""
         history = [None] * start
         aligns = {}
         layers_and_parsers = list(zip(self.built_layers, self.parsers))
@@ -279,7 +281,7 @@ def time_independent_prefix(parsers: Sequence[LayerParser]) -> Tuple[int, int]:
         elif name in ("conv2d", "pool2d"):
             # layout (N, C, H, W): spatial axes 2, 3
             if ndim != 4 or taxis in (0, 1):
-                return i  # conv over channels mixes time when taxis==1
+                return i, taxis  # conv over channels mixes time when taxis==1
             k = _as_pair(p.kwargs.get("kernel_size", 1))
             s = _as_pair(p.kwargs.get("stride", k if name == "pool2d" else 1))
             d = _as_pair(p.kwargs.get("dilation", 1))
@@ -340,6 +342,17 @@ def time_independent_prefix(parsers: Sequence[LayerParser]) -> Tuple[int, int]:
             # (unanalyzed) — conservative stop
             return i, taxis
     return len(parsers), taxis
+
+
+def _suffix_skips_into_prefix(parsers, split: int) -> bool:
+    """True if any suffix layer's skip_connect reaches before ``split`` —
+    the overlap fast path would hand it history=None (LayerStack runs the
+    suffix with start=split and no prefix history)."""
+    for i in range(split, len(parsers)):
+        skip = parsers[i].extras.get("skip_connect")
+        if isinstance(skip, int) and skip < split:
+            return True
+    return False
 
 
 def _thaw_spec(spec):

@@ -11,6 +11,7 @@ padded, not re-traced), features computed per clip, PCA decode on device.
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -22,6 +23,27 @@ from .models.sdfa import SpeechDrivenAnimation
 from .utils import ArgumentParser, log
 from .utils.config import ConfigDict
 from . import audio as audio_lib
+
+
+def load_dataset_truth(path: str, fps: float) -> Dict:
+    """Truth track from a preprocessed sentence dir: {"title", "tslist",
+    "data" (F, D)} (reference eval_utils._load_source dataset branch).
+
+    Numeric sort: preload writes negative-indexed frames (-00001.npy) when
+    speech starts late enough that anime_minfi < 0; a lexical sort (the
+    reference's find_files, eval_utils.py:63) plays them misordered.
+    tslist honors the real frame index so the truth track aligns with the
+    audio (intentional divergence, PARITY.md)."""
+    frames = sorted(
+        (f for f in os.listdir(path) if re.match(r"^-?\d+\.npy$", f)),
+        key=lambda f: int(os.path.splitext(f)[0]))
+    frame_ids = [int(os.path.splitext(f)[0]) for f in frames]
+    data = np.stack([np.load(os.path.join(path, f)) for f in frames])
+    return dict(
+        title="truth",
+        tslist=[fi * 1000.0 / fps for fi in frame_ids],
+        data=data,
+    )
 
 
 class AnimationTask:
@@ -125,6 +147,41 @@ class AnimationTask:
         return np.concatenate(animes).astype(np.float32), others
 
     # ------------------------------------------------------------------
+    def _overlap_prefix(self, signal: np.ndarray):
+        """Clip-level stage of the overlap fast path: frame grid (bucketed
+        to 256 so jit recompiles per bucket, not per clip length — the
+        trailing zero-pad ≡ the per-window zero-pad), then the frontend +
+        per-frame encoder prefix in one device call. Returns
+        (frame_idx (W, frames), ts_list, z_frames, clip_feat)."""
+        signal = np.asarray(signal, np.float32).flatten()
+        wspec = self._wspec()
+        frame_idx, ts_list, pad_l, pad_r, _ = wspec.frame_grid(
+            len(signal), bucket=256)
+        padded = np.pad(signal, (pad_l, pad_r))
+        z_frames, clip_feat = self._encode_frames(
+            self.variables, jnp.asarray(padded))
+        return frame_idx, ts_list, z_frames, clip_feat
+
+    @staticmethod
+    def _window_chunks(frame_idx: np.ndarray):
+        """Yield (padded_chunk, keep) covering all the clip's windows in
+        one 256-bucketed whole-clip batch — the sequential biLSTM scans
+        step with the whole window batch, which fills the MXU (DESIGN.md
+        §12; small chunks leave it idle). SDFA_MAX_WINDOW_BATCH caps the
+        per-call batch for small-memory devices; the tail chunk is padded
+        by repeating the last row and callers drop rows past ``keep``."""
+        n = len(frame_idx)
+        cap = int(os.environ.get("SDFA_MAX_WINDOW_BATCH", 16384))
+        step = min(-(-n // 256) * 256, cap)  # whole clip, 256-bucketed
+        for i in range(0, n, step):
+            chunk = frame_idx[i : i + step]
+            pad = step - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            yield chunk, step - pad
+
+    # ------------------------------------------------------------------
     def feature_to_anime_overlap(self, signal: np.ndarray, speaker_id: int):
         """Overlap fast path: clip-level prefix once, then the windowed
         suffix over ALL the clip's windows in one call (padded to a
@@ -133,28 +190,13 @@ class AnimationTask:
         fills the MXU (DESIGN.md §12; 100-window chunks leave it idle).
         SDFA_MAX_WINDOW_BATCH caps the per-call batch for small-memory
         devices. Returns (tslist, animes (W, D), others)."""
-        wspec = self._wspec()
-        # bucket the padded length so jit shapes recompile per bucket, not
-        # per clip length (trailing zero-pad ≡ the per-window zero-pad)
-        frame_idx, ts_list, pad_l, pad_r, t_total = wspec.frame_grid(
-            len(signal), bucket=256)
-        padded = np.pad(np.asarray(signal, np.float32), (pad_l, pad_r))
-        z_frames, clip_feat = self._encode_frames(self.variables, jnp.asarray(padded))
-
-        n = len(frame_idx)
-        cap = int(os.environ.get("SDFA_MAX_WINDOW_BATCH", 16384))
-        step = min(-(-n // 256) * 256, cap)  # whole clip, 256-bucketed
+        frame_idx, ts_list, z_frames, clip_feat = self._overlap_prefix(signal)
         animes, zs, aligns, inputs = [], [], [], []
         clip_feat_np = None
-        for i in range(0, n, step):
-            chunk = frame_idx[i : i + step]
-            pad = step - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            spk = jnp.full((step,), speaker_id, jnp.int32)
+        for chunk, keep in self._window_chunks(frame_idx):
+            spk = jnp.full((len(chunk),), speaker_id, jnp.int32)
             anime, z, align = self._fwd_windows(
                 self.variables, z_frames, jnp.asarray(chunk), spk)
-            keep = step - pad
             # slice on DEVICE before np.asarray: downloading the padded
             # rows wastes up to a bucket's worth of 89,784-float frames
             animes.append(np.asarray(anime[:keep, 0]))
@@ -296,29 +338,16 @@ class AnimationTask:
 
                 self._verts_jit = (jax.jit(fn), tmpl)
 
-        signal = np.asarray(signal, np.float32).flatten()
         if isinstance(speaker, str):
             speaker = dict(self.hp.dataset_anime.speakers)[speaker]
-        wspec = self._wspec()
-        frame_idx, ts_list, pad_l, pad_r, _ = wspec.frame_grid(
-            len(signal), bucket=256)
-        padded = np.pad(signal, (pad_l, pad_r))
-        z_frames, _ = self._encode_frames(self.variables, jnp.asarray(padded))
-
+        frame_idx, ts_list, z_frames, _ = self._overlap_prefix(signal)
         fn, consts = self._verts_jit
-        n = len(frame_idx)
-        cap = int(os.environ.get("SDFA_MAX_WINDOW_BATCH", 16384))
-        step = min(-(-n // 256) * 256, cap)
         chunks = []
-        for i in range(0, n, step):
-            chunk = frame_idx[i : i + step]
-            pad = step - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
-            spk = jnp.full((step,), speaker, jnp.int32)
+        for chunk, keep in self._window_chunks(frame_idx):
+            spk = jnp.full((len(chunk),), speaker, jnp.int32)
             flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
-            chunks.append(np.asarray(flat[: step - pad]))
-        verts = np.concatenate(chunks).reshape(n, -1, 3)
+            chunks.append(np.asarray(flat[:keep]))
+        verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
         return ts_list, verts
 
     # ------------------------------------------------------------------
@@ -363,15 +392,8 @@ class AnimationTask:
                 src_sr = int(blob["sr"])
                 signal = (sound_signal if src_sr == sr
                           else audio_lib.dsp.resample(sound_signal, src_sr, sr))
-                frames = sorted(f for f in os.listdir(path)
-                                if f.endswith(".npy") and "lips" not in f)
-                truth_data = np.stack(
-                    [np.load(os.path.join(path, f)) for f in frames])
-                truth = dict(
-                    title="truth",
-                    tslist=[i * 1000.0 / fps for i in range(len(frames))],
-                )
-                truth[face_type] = truth_data
+                truth = load_dataset_truth(path, fps)
+                truth[face_type] = truth.pop("data")
                 sound_signal = audio_lib.dsp.resample(sound_signal, src_sr, 44100)
             else:
                 sound_signal, _ = audio_lib.load(path, sr=44100)

@@ -279,7 +279,11 @@ def dumps_pretty(data, indent: int = 2, max_width: int = 120) -> str:
                 if len(cand) < max_width - inner_w:
                     cur = cand
                 else:
-                    lines.append(inner + cur + ",")
+                    # an over-long FIRST element flushes an empty cur: emit
+                    # the bare-padded line WITHOUT a comma (the reference
+                    # encoder does exactly this — still valid JSON; a
+                    # trailing "," here would not be)
+                    lines.append(inner + cur + ("," if cur else ""))
                     cur = child
             lines.append(inner + cur)
             return "[\n" + "\n".join(lines) + "\n" + pad1 * level + "]"

@@ -292,3 +292,33 @@ def test_clip_features_match_exact_on_aligned_interior_windows(hp):
                                atol=2e-5, rtol=0)
     np.testing.assert_allclose(gathered[5:-4, :, 2], exact[5:-4, :, 2],
                                atol=2e-5, rtol=0)
+
+
+def test_analyzer_conv2d_with_time_at_channel_returns_tuple():
+    """conv2d reached while time is still at axis 1 must return the
+    (split, taxis) TUPLE like every other exit — a bare int here crashed
+    AnimationTask construction for conv-first encoder specs."""
+    out = _analyze([("conv2d", 3, 16, (1, 3))])
+    assert out == (0, 1)
+
+
+def test_suffix_skip_into_prefix_disables_overlap():
+    """A suffix layer whose skip_connect reaches before the prefix split
+    would read history=None in the overlap path; encoder_overlap_split
+    must return split=0 (exact per-window path) for such specs."""
+    specs = (
+        ("permute", (0, 3, 2, 1)),                 # (N,C,F,T)
+        ("conv2d", 3, 8, (3, 1), (1, 1)),          # per-timestep: prefix
+        ("permute", (0, 3, 2, 1)),                 # back to (N,T,F,C)
+        ("flatten", "start_dim=2"),                # temporal-suffix start
+        ("fc", 1024, 8, "act=linear", "skip_connect=2"),  # reaches prefix
+    )
+    frozen = freeze_specs([list(s) for s in specs])
+    split, _ = encoder_overlap_split(frozen, False)
+    assert split == 0
+
+    # same suffix WITHOUT the offending skip keeps its prefix
+    specs_ok = tuple(s[:-1] if s[0] == "fc" else s for s in specs)
+    frozen_ok = freeze_specs([list(s) for s in specs_ok])
+    split_ok, _ = encoder_overlap_split(frozen_ok, False)
+    assert split_ok == 3

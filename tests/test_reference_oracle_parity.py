@@ -180,3 +180,33 @@ class TestSaberLayerOracle:
             out_ref = ref(_t(x)).numpy()
         assert out_ours.shape == out_ref.shape
         np.testing.assert_allclose(out_ours, out_ref, atol=0, rtol=0)
+
+    @pytest.mark.parametrize("k,s,t_in,want", [
+        (1, 4, 2, 7),   # padlr = -6 → (lo, hi) = (-3, -3): negative crop
+        (3, 2, 4, 7),   # padlr = -2 → (-1, -1)
+        (3, 1, 7, 7),   # padlr = +2 → (1, 1): normal crop
+    ])
+    def test_convtranspose1d_want_size_crop(self, k, s, t_in, want):
+        """want_size crop incl. NEGATIVE pad tuples: the reference's
+        conv_unpad (functions.py:252-270) slices with the raw (possibly
+        negative) pad values — torch wraps a negative start exactly like
+        Python, and we intentionally reproduce that (layers.py crop sites,
+        no clamp). This pins the wrap behavior against saber itself."""
+        Cin, Cout = 3, 5
+        ours = our_layers.ConvTranspose1d(
+            in_channels=Cin, out_channels=Cout, kernel_size=k, stride=s,
+            want_size=want)
+        x = np.random.default_rng(6).normal(0, 1, (2, Cin, t_in)).astype(np.float32)
+        variables = ours.init({"params": jax.random.PRNGKey(6)}, jnp.asarray(x))
+        out_ours = np.asarray(ours.apply(variables, jnp.asarray(x)))
+
+        ref = saber.nn.layers.ConvTranspose1d(Cin, Cout, k, s, want_size=want)
+        p = jax.device_get(variables["params"])
+        with torch.no_grad():
+            ref.weight.copy_(_t(p["kernel"]))
+            ref.bias.copy_(_t(p["bias"]))
+        ref.eval()
+        with torch.no_grad():
+            out_ref = ref(_t(x)).numpy()
+        assert out_ours.shape == out_ref.shape
+        np.testing.assert_allclose(out_ours, out_ref, atol=2e-5, rtol=0)

@@ -169,7 +169,13 @@ class TestGenerateVertices:
             {"params": rng, "dropout": rng},
             jnp.zeros((2, 64, 128, 3), jnp.float32),
             jnp.zeros((2,), jnp.int32), False)
-        return hp, AnimationTask(hp, model, variables)
+        # device_frontend+overlap ON so generate_vertices takes the FUSED
+        # device path (on the CPU test backend the defaults would fall back
+        # to generate_animation + frames_to_meshes — a tautological test)
+        task = AnimationTask(hp, model, variables,
+                             device_frontend=True, overlap_frontend=True)
+        assert task.overlap_frontend, "fused path must be active under test"
+        return hp, task
 
     def test_fused_matches_roundtrip(self, shipped_task):
         from sdfa_tpu.viewer import frame as frame_mod
@@ -197,3 +203,23 @@ class TestGenerateVertices:
         sig = (0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
         ts, verts = task_exact.generate_vertices(sig, 0)
         assert verts.shape[1:] == (5023, 3) and np.isfinite(verts).all()
+
+
+class TestLoadDatasetTruth:
+    def test_negative_frames_sort_numerically(self, tmp_path):
+        """-00002 < -00001 < 000000: a lexical sort would play
+        [-1, -2, 0, ...]; tslist must carry the true (negative) frame
+        times so the truth track aligns with the audio."""
+        from sdfa_tpu.task import load_dataset_truth
+
+        d = tmp_path / "sent00"
+        d.mkdir()
+        order = [-2, -1, 0, 1]
+        for fi in order:
+            np.save(str(d / f"{fi:06d}.npy"), np.full((4,), float(fi)))
+        np.save(str(d / "000000_lips_dist.npy"), np.zeros((1,)))  # excluded
+        truth = load_dataset_truth(str(d), fps=60.0)
+        np.testing.assert_array_equal(truth["data"][:, 0],
+                                      [-2.0, -1.0, 0.0, 1.0])
+        np.testing.assert_allclose(
+            truth["tslist"], [fi * 1000.0 / 60.0 for fi in order])

@@ -157,6 +157,22 @@ class TestWidthAwareDumper:
                 "vec": np.linspace(0, 1, 40)}
         self._assert_match(ref_encoder, data)
 
+    def test_overlong_elements_stay_valid_json(self, ref_encoder):
+        """A list element longer than the width budget used to flush an
+        EMPTY accumulator as a bare-comma line — invalid JSON. The
+        reference emits a bare padded line with no comma; match it
+        byte-for-byte AND require parseability."""
+        cases = [
+            {"a": ["x" * 130, "b"], "c": [{"k": "v" * 60}, "short", "y" * 200]},
+            {"z": ["q" * 300]},
+            {"m": [["n" * 120], "o" * 119, "p"]},
+        ]
+        from sdfa_tpu.utils.config import dumps_pretty
+
+        for data in cases:
+            self._assert_match(ref_encoder, data)
+            assert json.loads(dumps_pretty(data)) == data
+
     def test_max_width_kwarg(self, ref_encoder):
         data = {"xs": list(range(40)), "layers": [["fc", 520, 512], ["fc", 512, 85]]}
         self._assert_match(ref_encoder, data, max_width=60)
