@@ -309,15 +309,34 @@ def main():
         idx_all = (jnp.arange(n_clips, dtype=jnp.int32)[:, None, None] * t_total
                    + frame_idx[None])  # (C, W, frames)
 
+        # decode+solve in bounded sub-batches: forward_windows(raw_pca=True)
+        # returns tiny PCA coefficients (265 floats/window); the expansion
+        # to 89,784 floats happens chunk-by-chunk under lax.map, so the
+        # decode buffer never exceeds BENCH_DECODE_CHUNK windows (~1.1 GB
+        # at 3296). The all-at-once buffer was the serving-batch HBM cap:
+        # 96 clips = 18.2 GB > 15.75 GB. Decode+solve are a small slice of
+        # the program's FLOPs, so the chunking is throughput-neutral.
+        dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 3296))
+
+        def decode_solve(preds):  # {coeffs (w, 1, P)} → (w, 3, V)
+            anime = model.decode_to_anime(variables, preds)
+            return solve_fn(consts, anime[:, 0], consts.template_cnst,
+                            spec=spec, out_layout="3v")
+
         def suffix_group(idx_g):  # (K, W, frames) → (K·W, 3, V)
             idx_f = idx_g.reshape(-1, idx_g.shape[-1])
             spk = jnp.zeros((idx_f.shape[0],), jnp.int32)
             preds, _, _ = model.apply(
-                variables, z_flat, idx_f, spk,
+                variables, z_flat, idx_f, spk, raw_pca=True,
                 method=SpeechDrivenAnimation.forward_windows)
-            anime = model.decode_to_anime(variables, preds)  # (K·W, 1, D)
-            return solve_fn(consts, anime[:, 0], consts.template_cnst,
-                            spec=spec, out_layout="3v")
+            n_w = idx_f.shape[0]
+            if n_w % dchunk:
+                return decode_solve(preds)  # uneven: single batch
+            chunked = jax.tree_util.tree_map(
+                lambda p: p.reshape((n_w // dchunk, dchunk) + p.shape[1:]),
+                preds)
+            out = jax.lax.map(decode_solve, chunked)
+            return out.reshape((-1,) + out.shape[2:])
 
         out = jax.lax.map(
             suffix_group,

@@ -201,6 +201,39 @@ def trace_model(
     return compiled
 
 
+def load_task(ckpt_path: str, custom_hparams: Optional[str] = None,
+              dataset_root: Optional[str] = None,
+              overrides: Optional[dict] = None, **task_kwargs) -> AnimationTask:
+    """Checkpoint → inference-ready AnimationTask.
+
+    Hparams come from the run dir's ``hparams.json`` (written next to
+    every checkpoint by Experiment) unless ``custom_hparams`` is given.
+    The serving counterpart of the reference's evaluate flow
+    (speech_anime/api.py:108-129) without the eval-source machinery."""
+    from .utils.config import ConfigDict
+
+    run_dir = os.path.dirname(os.path.abspath(ckpt_path))
+    hp_json = os.path.join(run_dir, "hparams.json")
+    if custom_hparams is None and os.path.exists(hp_json):
+        hp = ConfigDict.parse_file(hp_json)
+        if dataset_root is not None:
+            hp.dataset_anime.set_key("root", dataset_root)
+        if overrides:
+            hp.overwrite_by(overrides)
+    else:
+        hp = configure(custom_hparams, overrides=overrides,
+                       dataset_root=dataset_root)
+    model = build_model(hp, load_pca=False)
+    exp = Experiment(hp, model, log_dir=os.path.join(run_dir, "_state"),
+                     training=False, load_from=ckpt_path)
+    variables = {
+        "params": jax.device_get(exp.state.params),
+        "batch_stats": jax.device_get(exp.state.batch_stats),
+        "constants": jax.device_get(exp.state.constants),
+    }
+    return AnimationTask(hp, model, variables, **task_kwargs)
+
+
 def load_traced(dump_dir: str, **task_kwargs) -> AnimationTask:
     """Rebuild an inference-ready AnimationTask from a trace_model dump
     (the deployment counterpart of the reference's traced-model loading,

@@ -211,11 +211,18 @@ class SpeechDrivenAnimation(nn.Module):
         )
         return jnp.moveaxis(z_frames, taxis, 1)  # (B, T_total, …)
 
-    def forward_windows(self, z_frames, frame_idx, speaker_id=None):
+    def forward_windows(self, z_frames, frame_idx, speaker_id=None,
+                        raw_pca: bool = False):
         """Temporal suffix per window: gather each window's frame slice from
         the clip-level prefix output, then biLSTM/attention + output heads.
 
-        z_frames: (T_total, …) from encode_frames; frame_idx: (W, frames)."""
+        z_frames: (T_total, …) from encode_frames; frame_idx: (W, frames).
+
+        raw_pca=True (using_pca models only) returns the heads' RAW PCA
+        coefficients (…_pca keys, 85+180 floats/window) instead of the
+        inverted 89,784-float frames — the caller decodes in bounded
+        chunks via decode_to_anime (key-dispatching), keeping the peak
+        decode buffer off the serving program's HBM high-water mark."""
         split, taxis = encoder_overlap_split(self.encoder_specs, self.weight_norm)
         align_dict: Dict[str, jnp.ndarray] = {}
         condition = None
@@ -228,20 +235,23 @@ class SpeechDrivenAnimation(nn.Module):
             z_windows, condition=condition, training=False, start=split
         )
         align_dict.update(aligns)
-        return self._output_heads(z_audio, condition, False, align_dict)
+        return self._output_heads(z_audio, condition, False, align_dict,
+                                  raw_pca=raw_pca)
 
-    def _output_heads(self, z_audio, condition, training, align_dict):
+    def _output_heads(self, z_audio, condition, training, align_dict,
+                      raw_pca: bool = False):
         x, aligns = self.output_trunk(z_audio, condition=condition, training=training)
         align_dict.update(aligns)
 
-        postfix = "_pca" if self.return_pca else ""
+        emit_pca = self.return_pca or (raw_pca and self.using_pca)
+        postfix = "_pca" if emit_pca else ""
         preds: Dict[str, jnp.ndarray] = {}
         if self.face_type == "dgrad_3d":
             x_scale, a1 = self.scale_head(x, condition=condition, training=training)
             x_rotat, a2 = self.rotat_head(x, condition=condition, training=training)
             align_dict.update(a1)
             align_dict.update(a2)
-            if self.using_pca and not self.return_pca:
+            if self.using_pca and not emit_pca:
                 # keep outputs FLAT (N, L, tris·6 / tris·3): trailing dims of
                 # 6/3 would be padded to 128 lanes on TPU (14-42× memory)
                 x_scale = self.scale_pca(x_scale)
@@ -254,7 +264,7 @@ class SpeechDrivenAnimation(nn.Module):
             preds[f"dgrad_3d_scale{postfix}"] = x_scale
             preds[f"dgrad_3d_rotat{postfix}"] = x_rotat
         else:
-            if self.using_pca and not self.return_pca:
+            if self.using_pca and not emit_pca:
                 x = self.pca(x)
             elif self.using_pca and self.is_initializing():
                 self.pca(x)
@@ -272,8 +282,11 @@ class SpeechDrivenAnimation(nn.Module):
             sub = variables[col][name]
             return jnp.matmul(coeffs, sub["compT"].T, precision=_PREC) + sub["means"]
 
+        # dispatch on the keys actually present (not self.return_pca):
+        # forward_windows(raw_pca=True) hands coefficient preds to a
+        # face_data-typed model for chunked decoding
         if self.face_type == "dgrad_3d":
-            if self.return_pca:
+            if "dgrad_3d_scale_pca" in preds:
                 scale = pca_apply("scale_pca", preds["dgrad_3d_scale_pca"])
                 rotat = pca_apply("rotat_pca", preds["dgrad_3d_rotat_pca"])
             else:
@@ -286,7 +299,7 @@ class SpeechDrivenAnimation(nn.Module):
             perm = _interleave_perm(n_tris)
             flat = jnp.concatenate([scale, rotat], axis=-1)
             return jnp.take(flat, perm, axis=-1)
-        if self.return_pca:
+        if f"{self.face_type}_pca" in preds:
             return pca_apply("pca", preds[f"{self.face_type}_pca"])
         return preds[self.face_type]
 

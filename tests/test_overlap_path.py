@@ -322,3 +322,35 @@ def test_suffix_skip_into_prefix_disables_overlap():
     frozen_ok = freeze_specs([list(s) for s in specs_ok])
     split_ok, _ = encoder_overlap_split(frozen_ok, False)
     assert split_ok == 3
+
+
+def test_raw_pca_windows_decode_matches_default(hp):
+    """forward_windows(raw_pca=True) (coefficient preds, decoded in a
+    separate decode_to_anime call — the bench's chunked decode+solve path)
+    == the default forward_windows whose heads invert PCA inline."""
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False,
+    )
+    feats = jnp.asarray(
+        np.random.default_rng(5).normal(size=(80, 128, 3)), jnp.float32)
+    z = model.apply(variables, feats,
+                    method=SpeechDrivenAnimation.encode_frames)
+    idx = jnp.asarray(np.stack([np.arange(64) + k for k in (0, 7, 16)]))
+    spk = jnp.zeros((3,), jnp.int32)
+
+    preds_full, _, _ = model.apply(
+        variables, z, idx, spk, method=SpeechDrivenAnimation.forward_windows)
+    want = np.asarray(model.decode_to_anime(variables, preds_full))
+
+    preds_pca, _, _ = model.apply(
+        variables, z, idx, spk, raw_pca=True,
+        method=SpeechDrivenAnimation.forward_windows)
+    assert set(preds_pca) == {"dgrad_3d_scale_pca", "dgrad_3d_rotat_pca"}
+    assert preds_pca["dgrad_3d_scale_pca"].shape[-1] == 85
+    got = np.asarray(model.decode_to_anime(variables, preds_pca))
+
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-6)

@@ -223,3 +223,57 @@ class TestLoadDatasetTruth:
                                       [-2.0, -1.0, 0.0, 1.0])
         np.testing.assert_allclose(
             truth["tslist"], [fi * 1000.0 / 60.0 for fi in order])
+
+
+class TestLoadTask:
+    def test_ckpt_to_task_roundtrip(self, tmp_path):
+        """api.load_task(ckpt) rebuilds an AnimationTask from the run
+        dir's hparams.json + checkpoint whose outputs match a manually
+        constructed task exactly."""
+        from test_experiment_resume import _batch, _tiny_hp
+
+        from sdfa_tpu import api
+        from sdfa_tpu.models import build_model
+        from sdfa_tpu.train import Experiment, Trainer
+
+        hp = _tiny_hp()
+        # build_model-compatible spec (load_task reconstructs the model
+        # from hparams.json alone)
+        hp.set_key("model", ConfigDict(dict(
+            face_data_type="dgrad_3d", prediction_type="face_data",
+            weight_norm=True,
+            speaker_embedding=dict(num_speakers=1, using_onehot=True),
+            audio_encoder=dict(layers=[
+                ["permute", [0, 3, 2, 1]],
+                ["conv2d", 3, 4, [3, 1], [1, 1], "act=lrelu@a:0.2"],
+                ["pool2d", "max", [16, 1]],
+                ["squeeze", 2],
+                ["permute", [0, 2, 1]],
+                ["lstm", 4, 8, "num_layers=1"],
+            ]),
+            output=dict(
+                using_pca=False,
+                layers=[["fc", 9, 8, "act=tanh", "cat_condition=2"]],
+                layers_scale=[["fc", 9, 8, "cat_condition=2"],
+                              ["fc", 8, 60, "act=linear"]],
+                layers_rotat=[["fc", 9, 8, "cat_condition=2"],
+                              ["fc", 8, 30, "act=linear"]],
+                output_dim_scale=60, output_dim_rotat=30,
+            ),
+        )))
+        model = build_model(hp, load_pca=False)
+        exp = Experiment(hp, model, log_dir=str(tmp_path / "run"), training=True)
+        Trainer(exp, train_loader=[_batch() for _ in range(2)]).train()
+
+        task = api.load_task(str(tmp_path / "run" / "last.ckpt"),
+                             batch_windows=8)
+        feats = np.random.default_rng(9).normal(
+            size=(5, 8, 16, 3)).astype(np.float32)
+        got, _ = task.feature_to_anime(feats, speaker_id=0)
+
+        variables = {"params": jax.device_get(exp.state.params),
+                     "batch_stats": jax.device_get(exp.state.batch_stats),
+                     "constants": jax.device_get(exp.state.constants)}
+        want, _ = AnimationTask(hp, model, variables,
+                                batch_windows=8).feature_to_anime(feats, 0)
+        np.testing.assert_array_equal(got, want)
