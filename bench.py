@@ -311,12 +311,15 @@ def main():
 
         # decode+solve in bounded sub-batches: forward_windows(raw_pca=True)
         # returns tiny PCA coefficients (265 floats/window); the expansion
-        # to 89,784 floats happens chunk-by-chunk under lax.map, so the
-        # decode buffer never exceeds BENCH_DECODE_CHUNK windows (~1.1 GB
-        # at 3296). The all-at-once buffer was the serving-batch HBM cap:
-        # 96 clips = 18.2 GB > 15.75 GB. Decode+solve are a small slice of
-        # the program's FLOPs, so the chunking is throughput-neutral.
-        dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 3296))
+        # to 89,784 floats + the solver's ~15 live (w, n_tris) temps happen
+        # chunk-by-chunk under lax.map, bounding the HBM high-water mark
+        # (96 clips all-at-once = 18.2 GB > 15.75 GB). Measured cost of
+        # chunking at 64 clips: ~2% (627× single-batch vs 614× at
+        # chunk 3296), so the default only chunks ABOVE the 64-clip
+        # working set; beyond that, 96 clips compiles but is slower
+        # (486×) and 128 exhausts at runtime — 64 is the qualified
+        # optimum either way (DESIGN.md §12).
+        dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 16384))
 
         def decode_solve(preds):  # {coeffs (w, 1, P)} → (w, 3, V)
             anime = model.decode_to_anime(variables, preds)
@@ -330,13 +333,19 @@ def main():
                 variables, z_flat, idx_f, spk, raw_pca=True,
                 method=SpeechDrivenAnimation.forward_windows)
             n_w = idx_f.shape[0]
-            if n_w % dchunk:
-                return decode_solve(preds)  # uneven: single batch
+            n_chunks = max(1, -(-n_w // dchunk))
+            if n_chunks == 1:
+                return decode_solve(preds)
+            csz = -(-n_w // n_chunks)
+            pad = n_chunks * csz - n_w
+            if pad:  # zero coeff rows decode to the PCA mean — discarded
+                preds = jax.tree_util.tree_map(
+                    lambda p: jnp.concatenate(
+                        [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)]), preds)
             chunked = jax.tree_util.tree_map(
-                lambda p: p.reshape((n_w // dchunk, dchunk) + p.shape[1:]),
-                preds)
+                lambda p: p.reshape((n_chunks, csz) + p.shape[1:]), preds)
             out = jax.lax.map(decode_solve, chunked)
-            return out.reshape((-1,) + out.shape[2:])
+            return out.reshape((-1,) + out.shape[2:])[:n_w]
 
         out = jax.lax.map(
             suffix_group,

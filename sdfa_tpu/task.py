@@ -309,15 +309,42 @@ class AnimationTask:
                 solver = frame_mod.get_solver()  # builds on first use
                 consts, spec = solver.consts, solver.spec
 
-                def fn(variables, consts, z_frames, frame_idx, spk):
-                    preds, _, _ = model.apply(
-                        variables, z_frames, frame_idx, spk,
-                        method=SpeechDrivenAnimation.forward_windows)
+                raw_pca = bool(model.using_pca and not model.return_pca)
+
+                def decode_solve(variables, consts, preds):
                     anime = model.decode_to_anime(variables, preds)[:, 0]
                     # flat output layout: (W, V·3) downloads without the
                     # 128-lane padding a (W, V, 3) device array would pay
                     return solve_fn(consts, anime, consts.template_cnst,
                                     spec=spec, out_layout="flat")
+
+                def fn(variables, consts, z_frames, frame_idx, spk):
+                    preds, _, _ = model.apply(
+                        variables, z_frames, frame_idx, spk, raw_pca=raw_pca,
+                        method=SpeechDrivenAnimation.forward_windows)
+                    n_w = frame_idx.shape[0]
+                    # decode+solve in bounded sub-batches: the solver's
+                    # per-component (w, n_tris) temps (~15 live at once) are
+                    # the program's HBM high-water mark; a long clip's 16k-
+                    # window bucket would need ~10 GB without this. PCA
+                    # coeff preds are tiny, so chunking costs nothing.
+                    dchunk = int(os.environ.get("SDFA_DECODE_CHUNK", 2048))
+                    if not raw_pca or n_w <= dchunk:
+                        return decode_solve(variables, consts, preds)
+                    n_chunks = -(-n_w // dchunk)
+                    csz = -(-n_w // n_chunks)
+                    pad = n_chunks * csz - n_w
+                    if pad:
+                        preds = jax.tree_util.tree_map(
+                            lambda p: jnp.concatenate(
+                                [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)]),
+                            preds)
+                    chunked = jax.tree_util.tree_map(
+                        lambda p: p.reshape((n_chunks, csz) + p.shape[1:]),
+                        preds)
+                    out = jax.lax.map(
+                        lambda pr: decode_solve(variables, consts, pr), chunked)
+                    return out.reshape((-1,) + out.shape[2:])[:n_w]
 
                 self._verts_jit = (jax.jit(fn), consts)
             else:

@@ -11,6 +11,8 @@ def ensure_pca_assets(root: str = "/tmp/sdfa_test_assets") -> str:
     specs = {
         "scale_compT.npy": (59856, 85), "scale_means.npy": (59856,),
         "rotat_compT.npy": (29928, 180), "rotat_means.npy": (29928,),
+        # offsets family (configs/model/offsets.py)
+        "compT.npy": (15069, 59), "means.npy": (15069,),
     }
     for name, shape in specs.items():
         path = os.path.join(root, "pca", name)

@@ -204,6 +204,23 @@ class TestGenerateVertices:
         ts, verts = task_exact.generate_vertices(sig, 0)
         assert verts.shape[1:] == (5023, 3) and np.isfinite(verts).all()
 
+    def test_chunked_decode_solve_matches_whole(self, shipped_task, monkeypatch):
+        """SDFA_DECODE_CHUNK-bounded lax.map decode+solve (the long-clip
+        HBM guard) == the single-batch path, exactly."""
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.25 * np.sin(2 * np.pi * 160 * t)).astype(np.float32)
+        _, want = task.generate_vertices(sig, 0)
+
+        from sdfa_tpu.task import AnimationTask as AT
+
+        monkeypatch.setenv("SDFA_DECODE_CHUNK", "32")
+        chunked = AT(hp, task.model, task.variables,
+                     device_frontend=True, overlap_frontend=True)
+        _, got = chunked.generate_vertices(sig, 0)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
 
 class TestLoadDatasetTruth:
     def test_negative_frames_sort_numerically(self, tmp_path):
@@ -277,3 +294,34 @@ class TestLoadTask:
         want, _ = AnimationTask(hp, model, variables,
                                 batch_windows=8).feature_to_anime(feats, 0)
         np.testing.assert_array_equal(got, want)
+
+
+class TestGenerateVerticesOffsets:
+    def test_fused_template_add_matches_roundtrip(self):
+        """The non-dgrad branch of generate_vertices (verts_off_3d: fused
+        template add, no solver) equals generate_animation +
+        frames_to_meshes on the shipped offsets model."""
+        from _assets import ensure_pca_assets
+        from sdfa_tpu.models import build_model
+        from sdfa_tpu.tools import configure
+        from sdfa_tpu.viewer import frame as frame_mod
+
+        hp = configure("offsets", dataset_root=ensure_pca_assets())
+        model = build_model(hp, load_pca=True)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            jnp.zeros((2, 64, 128, 3), jnp.float32),
+            jnp.zeros((2,), jnp.int32), False)
+        task = AnimationTask(hp, model, variables,
+                             device_frontend=True, overlap_frontend=True)
+        assert task.overlap_frontend
+
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 140 * t)).astype(np.float32)
+        ts_v, verts = task.generate_vertices(sig, 0)
+        ts_a, animes, _ = task.generate_animation(sig, 0)
+        assert ts_v == ts_a
+        ref, _ = frame_mod.frames_to_meshes(animes, "verts_off_3d")
+        np.testing.assert_allclose(verts, ref, atol=1e-6)
