@@ -332,20 +332,9 @@ def main():
             preds, _, _ = model.apply(
                 variables, z_flat, idx_f, spk, raw_pca=True,
                 method=SpeechDrivenAnimation.forward_windows)
-            n_w = idx_f.shape[0]
-            n_chunks = max(1, -(-n_w // dchunk))
-            if n_chunks == 1:
-                return decode_solve(preds)
-            csz = -(-n_w // n_chunks)
-            pad = n_chunks * csz - n_w
-            if pad:  # zero coeff rows decode to the PCA mean — discarded
-                preds = jax.tree_util.tree_map(
-                    lambda p: jnp.concatenate(
-                        [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)]), preds)
-            chunked = jax.tree_util.tree_map(
-                lambda p: p.reshape((n_chunks, csz) + p.shape[1:]), preds)
-            out = jax.lax.map(decode_solve, chunked)
-            return out.reshape((-1,) + out.shape[2:])[:n_w]
+            from sdfa_tpu.ops import padded_chunk_map
+
+            return padded_chunk_map(decode_solve, preds, idx_f.shape[0], dchunk)
 
         out = jax.lax.map(
             suffix_group,

@@ -210,26 +210,36 @@ def load_task(ckpt_path: str, custom_hparams: Optional[str] = None,
     every checkpoint by Experiment) unless ``custom_hparams`` is given.
     The serving counterpart of the reference's evaluate flow
     (speech_anime/api.py:108-129) without the eval-source machinery."""
+    import flax.serialization as fser
+
     from .utils.config import ConfigDict
 
     run_dir = os.path.dirname(os.path.abspath(ckpt_path))
     hp_json = os.path.join(run_dir, "hparams.json")
-    if custom_hparams is None and os.path.exists(hp_json):
+    if custom_hparams is not None:
+        hp = configure(custom_hparams, overrides=overrides,
+                       dataset_root=dataset_root)
+    elif os.path.exists(hp_json):
         hp = ConfigDict.parse_file(hp_json)
         if dataset_root is not None:
             hp.dataset_anime.set_key("root", dataset_root)
         if overrides:
             hp.overwrite_by(overrides)
     else:
-        hp = configure(custom_hparams, overrides=overrides,
-                       dataset_root=dataset_root)
+        raise FileNotFoundError(
+            f"no hparams.json next to {ckpt_path} — pass custom_hparams "
+            "(the default config would build a model unrelated to this "
+            "checkpoint)")
     model = build_model(hp, load_pca=False)
-    exp = Experiment(hp, model, log_dir=os.path.join(run_dir, "_state"),
-                     training=False, load_from=ckpt_path)
+    # read-only restore: no Experiment (which writes run-dir artifacts and
+    # builds an optimizer), no template init — msgpack_restore rebuilds the
+    # plain dict tree directly, so serving from a read-only mount works
+    with open(ckpt_path, "rb") as fp:
+        payload = fser.msgpack_restore(fp.read())
     variables = {
-        "params": jax.device_get(exp.state.params),
-        "batch_stats": jax.device_get(exp.state.batch_stats),
-        "constants": jax.device_get(exp.state.constants),
+        "params": payload["params"],
+        "batch_stats": payload.get("batch_stats", {}),
+        "constants": payload.get("constants", {}),
     }
     return AnimationTask(hp, model, variables, **task_kwargs)
 

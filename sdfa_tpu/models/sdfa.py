@@ -315,7 +315,9 @@ def encoder_overlap_split(encoder_specs, weight_norm: bool):
     parsers = parse_specs(raw, weight_norm)
     split, taxis = time_independent_prefix(parsers)
     if _suffix_skips_into_prefix(parsers, split):
-        return 0, taxis  # suffix reads prefix history: run everything per window
+        # suffix reads prefix history: run everything per window (time
+        # axis reported for the empty prefix = the input layout's, axis 1)
+        return 0, 1
     return split, taxis
 
 

@@ -345,12 +345,21 @@ def time_independent_prefix(parsers: Sequence[LayerParser]) -> Tuple[int, int]:
 
 
 def _suffix_skips_into_prefix(parsers, split: int) -> bool:
-    """True if any suffix layer's skip_connect reaches before ``split`` —
+    """True if any suffix layer's skip_connect resolves before ``split`` —
     the overlap fast path would hand it history=None (LayerStack runs the
-    suffix with start=split and no prefix history)."""
+    suffix with start=split and no prefix history).
+
+    A NEGATIVE skip indexes history from the end (Python semantics): at
+    layer i the list holds i+1 entries, so it resolves to absolute index
+    i+1+skip — identical in the full and suffix runs, and safe whenever
+    that lands at/after the split (e.g. skip=-1, a residual on the
+    layer's own input, never disables the overlap path)."""
     for i in range(split, len(parsers)):
         skip = parsers[i].extras.get("skip_connect")
-        if isinstance(skip, int) and skip < split:
+        if not isinstance(skip, int):
+            continue
+        resolved = i + 1 + skip if skip < 0 else skip
+        if resolved < split:
             return True
     return False
 

@@ -1,5 +1,6 @@
 from . import dgrad, rotation
-from .deform_solver import DeformationSolver, DeformConsts, SolverSpec, solve_fn
+from .deform_solver import (DeformationSolver, DeformConsts, SolverSpec,
+                            padded_chunk_map, solve_fn)
 from .dgrad import (deformation_gradients, deformation_gradients_np,
                     deformation_matrices, dgrad_to_transforms_t)
 from .rotation import so3_exp, so3_log
@@ -11,6 +12,7 @@ __all__ = [
     "DeformConsts",
     "SolverSpec",
     "solve_fn",
+    "padded_chunk_map",
     "deformation_gradients",
     "deformation_gradients_np",
     "deformation_matrices",

@@ -604,3 +604,28 @@ class DeformationSolver:
             ca = (1 - np.cos(angle[nz]))[:, None, None]
             r[nz] = np.eye(3) + sa * k + ca * (k @ k)
         return np.swapaxes(r @ s, -1, -2)
+
+
+def padded_chunk_map(fn, tree, n: int, chunk: int):
+    """Apply ``fn`` over leading-dim sub-batches of a pytree via lax.map.
+
+    Bounds the HBM high-water mark of memory-amplifying stages (PCA decode
+    expands 265→89,784 floats/row; the solve holds ~15 per-component
+    (rows, n_tris) temps — DESIGN.md §12): leaves of ``tree`` (leading dim
+    ``n``) are zero-padded to ceil(n/chunk) even sub-batches, mapped, and
+    the pad rows sliced off. Callers must tolerate fn seeing zero rows
+    (e.g. PCA coeffs of 0 decode to the mean — discarded here). Runs
+    ``fn`` directly when one chunk suffices."""
+    n_chunks = max(1, -(-n // chunk))
+    if n_chunks == 1:
+        return fn(tree)
+    csz = -(-n // n_chunks)
+    pad = n_chunks * csz - n
+    if pad:
+        tree = jax.tree_util.tree_map(
+            lambda p: jnp.concatenate(
+                [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)]), tree)
+    chunked = jax.tree_util.tree_map(
+        lambda p: p.reshape((n_chunks, csz) + p.shape[1:]), tree)
+    out = jax.lax.map(fn, chunked)
+    return out.reshape((-1,) + out.shape[2:])[:n]

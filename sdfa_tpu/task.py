@@ -154,6 +154,9 @@ class AnimationTask:
         per-frame encoder prefix in one device call. Returns
         (frame_idx (W, frames), ts_list, z_frames, clip_feat)."""
         signal = np.asarray(signal, np.float32).flatten()
+        # same input contract as generate_animation: un-normalized (e.g.
+        # int16-scaled) audio must fail loudly on every serving surface
+        assert signal.min() >= -1 and signal.max() <= 1
         wspec = self._wspec()
         frame_idx, ts_list, pad_l, pad_r, _ = wspec.frame_grid(
             len(signal), bucket=256)
@@ -309,7 +312,17 @@ class AnimationTask:
                 solver = frame_mod.get_solver()  # builds on first use
                 consts, spec = solver.consts, solver.spec
 
+                from .ops import padded_chunk_map
+
+                # with using_pca the preds are tiny coefficients — either
+                # raw (face_data pred types, raw_pca=True skips the inline
+                # inversion) or natively (pca_* pred types) — so decode+
+                # solve can run in bounded sub-batches: the solver's ~15
+                # live (w, n_tris) temps are the HBM high-water mark and a
+                # long clip's 16k-window bucket would need ~10 GB
+                # (DESIGN.md §12; SDFA_DECODE_CHUNK bounds it)
                 raw_pca = bool(model.using_pca and not model.return_pca)
+                chunkable = bool(model.using_pca)
 
                 def decode_solve(variables, consts, preds):
                     anime = model.decode_to_anime(variables, preds)[:, 0]
@@ -323,28 +336,12 @@ class AnimationTask:
                         variables, z_frames, frame_idx, spk, raw_pca=raw_pca,
                         method=SpeechDrivenAnimation.forward_windows)
                     n_w = frame_idx.shape[0]
-                    # decode+solve in bounded sub-batches: the solver's
-                    # per-component (w, n_tris) temps (~15 live at once) are
-                    # the program's HBM high-water mark; a long clip's 16k-
-                    # window bucket would need ~10 GB without this. PCA
-                    # coeff preds are tiny, so chunking costs nothing.
                     dchunk = int(os.environ.get("SDFA_DECODE_CHUNK", 2048))
-                    if not raw_pca or n_w <= dchunk:
+                    if not chunkable:
                         return decode_solve(variables, consts, preds)
-                    n_chunks = -(-n_w // dchunk)
-                    csz = -(-n_w // n_chunks)
-                    pad = n_chunks * csz - n_w
-                    if pad:
-                        preds = jax.tree_util.tree_map(
-                            lambda p: jnp.concatenate(
-                                [p, jnp.zeros((pad,) + p.shape[1:], p.dtype)]),
-                            preds)
-                    chunked = jax.tree_util.tree_map(
-                        lambda p: p.reshape((n_chunks, csz) + p.shape[1:]),
-                        preds)
-                    out = jax.lax.map(
-                        lambda pr: decode_solve(variables, consts, pr), chunked)
-                    return out.reshape((-1,) + out.shape[2:])[:n_w]
+                    return padded_chunk_map(
+                        lambda pr: decode_solve(variables, consts, pr),
+                        preds, n_w, dchunk)
 
                 self._verts_jit = (jax.jit(fn), consts)
             else:

@@ -354,3 +354,24 @@ def test_raw_pca_windows_decode_matches_default(hp):
     got = np.asarray(model.decode_to_anime(variables, preds_pca))
 
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-6)
+
+
+def test_negative_suffix_skip_keeps_overlap():
+    """skip_connect=-1 in the suffix (residual on the layer's own input)
+    resolves inside the suffix history — the overlap path must stay on.
+    A negative skip that resolves INTO the prefix must still disable it."""
+    base = (
+        ("permute", (0, 3, 2, 1)),
+        ("conv2d", 3, 8, (3, 1), (1, 1)),          # prefix
+        ("permute", (0, 3, 2, 1)),
+        ("flatten", "start_dim=2"),                # suffix starts (split=3)
+    )
+    ok = base + (("fc", 1024, 1024, "act=linear", "skip_connect=-1"),)
+    split, _ = encoder_overlap_split(freeze_specs([list(s) for s in ok]), False)
+    assert split == 3
+
+    # at layer 4 (the fc), skip=-3 resolves to 4+1-3 = 2 < split=3 → prefix
+    bad = base + (("fc", 1024, 8, "act=linear", "skip_connect=-3"),)
+    split_bad, taxis_bad = encoder_overlap_split(
+        freeze_specs([list(s) for s in bad]), False)
+    assert (split_bad, taxis_bad) == (0, 1)

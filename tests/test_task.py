@@ -325,3 +325,59 @@ class TestGenerateVerticesOffsets:
         assert ts_v == ts_a
         ref, _ = frame_mod.frames_to_meshes(animes, "verts_off_3d")
         np.testing.assert_allclose(verts, ref, atol=1e-6)
+
+    def test_missing_hparams_raises(self, tmp_path):
+        """A bare checkpoint without hparams.json must fail loudly, not
+        silently build the default-config model."""
+        from sdfa_tpu import api
+
+        ckpt = tmp_path / "orphan.ckpt"
+        ckpt.write_bytes(b"\x00")
+        with pytest.raises(FileNotFoundError, match="hparams.json"):
+            api.load_task(str(ckpt))
+
+    def test_read_only_run_dir(self, tmp_path):
+        """load_task is a pure reader: no _state/ dir, no artifacts
+        written next to the checkpoint (serving mounts are read-only)."""
+        import os
+
+        from test_experiment_resume import _batch, _tiny_hp
+
+        # reuse the run from test_ckpt_to_task_roundtrip's setup is not
+        # possible across tests; train a minimal one here
+        from sdfa_tpu import api
+        from sdfa_tpu.models import build_model
+        from sdfa_tpu.train import Experiment, Trainer
+
+        hp = _tiny_hp()
+        hp.set_key("model", ConfigDict(dict(
+            face_data_type="dgrad_3d", prediction_type="face_data",
+            weight_norm=False,
+            speaker_embedding=dict(num_speakers=1, using_onehot=True),
+            audio_encoder=dict(layers=[
+                ["permute", [0, 3, 2, 1]],
+                ["conv2d", 3, 4, [3, 1], [1, 1], "act=lrelu@a:0.2"],
+                ["pool2d", "max", [16, 1]],
+                ["squeeze", 2],
+                ["permute", [0, 2, 1]],
+                ["lstm", 4, 8, "num_layers=1"],
+            ]),
+            output=dict(
+                using_pca=False,
+                layers=[["fc", 9, 8, "act=tanh", "cat_condition=2"]],
+                layers_scale=[["fc", 9, 8, "cat_condition=2"],
+                              ["fc", 8, 60, "act=linear"]],
+                layers_rotat=[["fc", 9, 8, "cat_condition=2"],
+                              ["fc", 8, 30, "act=linear"]],
+                output_dim_scale=60, output_dim_rotat=30,
+            ),
+        )))
+        model = build_model(hp, load_pca=False)
+        run = str(tmp_path / "run")
+        exp = Experiment(hp, model, log_dir=run, training=True)
+        Trainer(exp, train_loader=[_batch() for _ in range(1)]).train()
+
+        before = set(os.listdir(run))
+        task = api.load_task(os.path.join(run, "last.ckpt"))
+        assert set(os.listdir(run)) == before  # nothing written
+        assert task.model.face_type == "dgrad_3d"
