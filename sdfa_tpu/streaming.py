@@ -1,0 +1,265 @@
+"""Real-time streaming serving: push audio chunks → mesh frames out.
+
+No reference counterpart — the reference (speech_anime/model/model.py:
+333-426) is clip-offline only: it needs the whole wav before producing
+any frame. This session produces 60 fps mesh frames incrementally with a
+fixed lookahead of roughly half a sliding window (sliding/2 ≈ 0.28 s at
+the shipped config) plus the Δ/Δ² context (4 hop frames ≈ 0.03 s),
+reusing the overlap fast path's machinery:
+
+- the mel frontend runs per fixed-size frame block (one jitted shape);
+- Δ/Δ² are applied with the band-structured Savitzky-Golay operator
+  (``dsp.delta_matrix`` interior columns are a shift-invariant 9-tap
+  kernel; the first 4 frames use the T-independent edge columns — both
+  verified identical to the offline whole-clip operator);
+- the per-frame encoder prefix (time-independent by construction,
+  ``nn.spec.time_independent_prefix``) runs per block;
+- the biLSTM/attention suffix + decode + solve run per ``emit_batch``
+  windows through the same fused fn as ``AnimationTask.generate_vertices``
+  (``task._get_verts_fn``), gathering from a bounded z-slice.
+
+Offline equivalence: pushing a clip in arbitrary chunk sizes and
+flushing yields the same timeline and vertices as
+``generate_vertices(clip)`` (tests/test_streaming.py; small fp
+reassociation tolerance — band vs whole-clip delta matmul).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import dsp
+
+
+class StreamingSession:
+    """Created via ``AnimationTask.stream(speaker)``.
+
+    push(samples) -> list of (ts_ms, verts (V, 3)) frames ready so far;
+    flush() -> the remaining frames (right-pads like the offline path).
+    """
+
+    # delta context: savgol width 9 → 4 future frames finalize a delta
+    _DCTX = 4
+
+    def __init__(self, task, speaker, emit_batch: int = 16,
+                 block_frames: int = 16):
+        if isinstance(speaker, str):
+            speaker = dict(task.hp.dataset_anime.speakers)[speaker]
+        self.task = task
+        self.speaker = int(speaker)
+        self.spec = task._wspec()
+        self.emit_batch = int(emit_batch)
+        # mel/encoder block granularity (one jit shape each): smaller →
+        # lower emission latency, more dispatches. 16 frames ≈ 0.13 s.
+        self.BLOCK = int(block_frames)
+        assert task.overlap_frontend, (
+            "streaming rides the overlap fast path — construct the task "
+            "with device_frontend=True (encoder prefix must be usable)")
+
+        s = self.spec
+        self._pad = s.sliding  # same left zero-pad as frame_grid
+        # raw padded signal (host); preemphasis applied lazily per block
+        self._sig = np.zeros(self._pad, np.float32)
+        self._n_real = 0
+        self._t_mel = 0          # mel frames computed
+        self._mel = np.zeros((0, s.n_mels), np.float32)   # host mel history
+        self._z: List[np.ndarray] = []                    # host z blocks
+        self._z_done = 0         # encoded (delta-finalized) frames
+        self._w_done = 0         # windows emitted
+        self._flushed = False
+
+        # band delta operators (verified ≡ delta_matrix(T) interior/edge)
+        width = 9
+        full = dsp.delta_matrix(4 * width, 1), dsp.delta_matrix(4 * width, 2)
+        # interior kernel: column at a fully-interior position
+        c = 2 * width
+        self._k1 = full[0][c - 4 : c + 5, c].copy()   # (9,)
+        self._k2 = full[1][c - 4 : c + 5, c].copy()
+        # edge columns 0..3 (support rows 0..8, T-independent)
+        self._e1 = full[0][:width, : self._DCTX].copy()  # (9, 4)
+        self._e2 = full[1][:width, : self._DCTX].copy()
+
+        # per-session jitted frontend block: preemphed samples → mel block
+        def mel_block(pre):
+            frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+            frames = frames * jnp.asarray(dsp.get_window(s.win_fn, s.win_size))
+            cos_b, sin_b = dsp.dft_bases(s.win_size)
+            re = jnp.matmul(frames, jnp.asarray(cos_b))
+            im = jnp.matmul(frames, jnp.asarray(sin_b))
+            power = re * re + im * im
+            filt = jnp.asarray(dsp.mel_filters(s.sr, s.win_size, s.n_mels,
+                                               s.fmin, s.fmax))
+            mel = jnp.matmul(power, filt.T)
+            mel = dsp.power_to_db(mel)
+            if s.normalize:
+                mel = dsp.normalize_db(mel, s.ref_db, s.top_db, s.clip)
+            return mel  # (BLOCK, M)
+
+        self._mel_block = jax.jit(mel_block)
+
+        from .models.sdfa import SpeechDrivenAnimation
+
+        def encode_block(variables, feats):  # (B, M, 3) → (B, D)
+            return task.model.apply(variables, feats,
+                                    method=SpeechDrivenAnimation.encode_frames)
+
+        self._encode_block = jax.jit(encode_block)
+        self._verts_fn, self._consts = task._get_verts_fn()
+
+        # z-slice length for one emit batch: 64 window frames + the hop
+        # span of emit_batch windows, padded to a 64 multiple (static)
+        span = s.frames + int(math.ceil(
+            (self.emit_batch - 1) * s.sr / s.fps / s.hop_size)) + 2
+        self._slice_len = -(-span // 64) * 64
+
+    # -- geometry (mirrors WindowSpec.window_starts arithmetic) -----------
+    @property
+    def lookahead_s(self) -> float:
+        """Worst-case audio lookahead before a frame can be emitted."""
+        s = self.spec
+        return (s.sliding / 2 + self._DCTX * s.hop_size) / s.sr
+
+    def _window_geom(self, w: int):
+        s = self.spec
+        m = math.floor((w - 1.0) * s.sr / s.fps)
+        e = m + s.sliding // 2
+        start = e - s.sliding
+        ts = int(round((start + e) / 2 * 1000.0 / s.sr - s.ts_delta))
+        snapped = int(np.round(np.float64(start) / s.hop_size)) * s.hop_size
+        f0 = (snapped + self._pad) // s.hop_size
+        return f0, ts
+
+    def _n_windows(self, n_samples: int) -> int:
+        s = self.spec
+        w = 0
+        while (w - 1.0) * s.sr / s.fps + s.sliding <= n_samples + 2 * s.sliding:
+            w += 1
+        return w
+
+    # -- pipeline ----------------------------------------------------------
+    def _ingest(self):
+        """Advance mel → deltas → prefix as far as the buffered signal
+        allows (whole BLOCK-frame steps; the tail waits for more audio)."""
+        s, B = self.spec, self.BLOCK
+        # 1. mel frames
+        while True:
+            t0 = self._t_mel
+            need = t0 * s.hop_size + s.win_size + (B - 1) * s.hop_size
+            if len(self._sig) < need:
+                break
+            lo = t0 * s.hop_size
+            block = self._sig[lo : need]
+            if s.preemph:
+                prev = self._sig[lo - 1] if lo else np.float32(0.0)
+                first = block[0] if lo == 0 else block[0] - s.preemph * prev
+                block = np.concatenate(
+                    [[first], block[1:] - s.preemph * block[:-1]]
+                ).astype(np.float32)
+            mel = np.asarray(self._mel_block(jnp.asarray(block)))
+            self._mel = np.concatenate([self._mel, mel])
+            self._t_mel += B
+        # 2. deltas + prefix for delta-finalized frames, in BLOCK steps
+        while self._z_done + B <= self._t_mel - self._DCTX:
+            a = self._z_done
+            feat = self._feat_with_deltas(a, a + B)      # (B, M, 3)
+            z = np.asarray(self._encode_block(
+                self.task.variables, jnp.asarray(feat)))
+            self._z.append(z)
+            self._z_done += B
+
+    def _feat_with_deltas(self, a: int, b: int) -> np.ndarray:
+        """(b-a, M, 3) features for mel frames [a, b) using the band SG
+        operators; requires mel through b+4 (edge frames 0..3 use the
+        offline operator's edge columns)."""
+        mel = self._mel
+        out = np.empty((b - a, mel.shape[1], 3), np.float32)
+        for i, f in enumerate(range(a, b)):
+            out[i, :, 0] = mel[f]
+            if f < self._DCTX:  # offline left-edge fit (frames 0..3)
+                ctx = mel[:9]   # (9, M)
+                out[i, :, 1] = ctx.T @ self._e1[:, f]
+                out[i, :, 2] = ctx.T @ self._e2[:, f]
+            else:
+                ctx = mel[f - 4 : f + 5]
+                out[i, :, 1] = ctx.T @ self._k1
+                out[i, :, 2] = ctx.T @ self._k2
+        return out
+
+    def _emit_ready(self, limit_w: int) -> List[Tuple[float, np.ndarray]]:
+        """Emit complete windows < limit_w whose frames are encoded."""
+        s = self.spec
+        out = []
+        while self._w_done < limit_w:
+            batch = []
+            w = self._w_done
+            while (len(batch) < self.emit_batch and w < limit_w):
+                f0, ts = self._window_geom(w)
+                if f0 + s.frames > self._z_done:
+                    break
+                batch.append((w, f0, ts))
+                w += 1
+            if not batch:
+                break
+            out.extend(self._run_batch(batch))
+            self._w_done = batch[-1][0] + 1
+        return out
+
+    def _run_batch(self, batch):
+        s = self.spec
+        z_all = np.concatenate(self._z)
+        lo = batch[0][1]  # first window's f0; batch span < _slice_len
+        z_slice = z_all[lo : lo + self._slice_len]
+        if len(z_slice) < self._slice_len:  # left-of-history start: pad
+            z_slice = np.concatenate(
+                [z_slice, np.zeros((self._slice_len - len(z_slice),)
+                                   + z_slice.shape[1:], np.float32)])
+        # pad the window batch to the static emit_batch shape
+        rows = [(f0 - lo) for (_, f0, _) in batch]
+        keep = len(rows)
+        while len(rows) < self.emit_batch:
+            rows.append(rows[-1])
+        idx = (np.asarray(rows, np.int32)[:, None]
+               + np.arange(s.frames, dtype=np.int32)[None, :])
+        spk = jnp.full((self.emit_batch,), self.speaker, jnp.int32)
+        flat = self._verts_fn(self.task.variables, self._consts,
+                              jnp.asarray(z_slice), jnp.asarray(idx), spk)
+        verts = np.asarray(flat[:keep]).reshape(keep, -1, 3)
+        return [(batch[i][2], verts[i]) for i in range(keep)]
+
+    # -- public API --------------------------------------------------------
+    def push(self, samples: np.ndarray) -> List[Tuple[float, np.ndarray]]:
+        """Feed more audio; returns frames that became ready: a list of
+        (ts_ms, verts (V, 3))."""
+        assert not self._flushed, "session already flushed"
+        samples = np.asarray(samples, np.float32).flatten()
+        assert samples.size == 0 or (
+            samples.min() >= -1 and samples.max() <= 1)
+        self._sig = np.concatenate([self._sig, samples])
+        self._n_real += len(samples)
+        self._ingest()
+        return self._emit_ready(self._n_windows(self._n_real))
+
+    def flush(self) -> List[Tuple[float, np.ndarray]]:
+        """End of stream: zero-pad (exactly like the offline right pad)
+        and emit every remaining window."""
+        assert not self._flushed, "session already flushed"
+        self._flushed = True
+        s = self.spec
+        n_w = self._n_windows(self._n_real)
+        if n_w == 0:
+            return []
+        last_f0, _ = self._window_geom(n_w - 1)
+        # grow in block-sized zero chunks until the whole-block ingestion
+        # has encoded every frame the last window gathers (ingestion only
+        # advances in BLOCK steps, so a single exact-size pad can stall
+        # one block short)
+        while self._z_done < last_f0 + s.frames:
+            self._sig = np.concatenate(
+                [self._sig, np.zeros(self.BLOCK * s.hop_size, np.float32)])
+            self._ingest()
+        return self._emit_ready(n_w)

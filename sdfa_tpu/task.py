@@ -156,7 +156,7 @@ class AnimationTask:
         signal = np.asarray(signal, np.float32).flatten()
         # same input contract as generate_animation: un-normalized (e.g.
         # int16-scaled) audio must fail loudly on every serving surface
-        assert signal.min() >= -1 and signal.max() <= 1
+        assert signal.size == 0 or (signal.min() >= -1 and signal.max() <= 1)
         wspec = self._wspec()
         frame_idx, ts_list, pad_l, pad_r, _ = wspec.frame_grid(
             len(signal), bucket=256)
@@ -230,7 +230,7 @@ class AnimationTask:
         """signal (float in [-1,1], hp sample rate) → (tslist, animes, others)
         (model.py:333-426, incl. the signal feature cache + ensembling)."""
         signal = np.asarray(signal, np.float32).flatten()
-        assert signal.min() >= -1 and signal.max() <= 1
+        assert signal.size == 0 or (signal.min() >= -1 and signal.max() <= 1)
         if isinstance(speaker, str):
             speaker = dict(self.hp.dataset_anime.speakers)[speaker]
         if ensembling_ms is None:
@@ -304,6 +304,25 @@ class AnimationTask:
             verts, _ = frame_mod.frames_to_meshes(animes, face_type)
             return tslist, verts
 
+        if isinstance(speaker, str):
+            speaker = dict(self.hp.dataset_anime.speakers)[speaker]
+        frame_idx, ts_list, z_frames, _ = self._overlap_prefix(signal)
+        fn, consts = self._get_verts_fn()
+        chunks = []
+        for chunk, keep in self._window_chunks(frame_idx):
+            spk = jnp.full((len(chunk),), speaker, jnp.int32)
+            flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
+            chunks.append(np.asarray(flat[:keep]))
+        verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
+        return ts_list, verts
+
+    def _get_verts_fn(self):
+        """(jitted fn, consts) for the fused windows→vertices device path:
+        fn(variables, consts, z_frames, frame_idx, spk) → flat (W, V·3).
+        Built once; shared by generate_vertices and StreamingSession."""
+        from .viewer import frame as frame_mod
+
+        face_type = self.hp.model.face_data_type
         if self._verts_jit is None:
             model = self.model
             if face_type == "dgrad_3d":
@@ -361,18 +380,15 @@ class AnimationTask:
                     return anime  # (W, V·3)
 
                 self._verts_jit = (jax.jit(fn), tmpl)
+        return self._verts_jit
 
-        if isinstance(speaker, str):
-            speaker = dict(self.hp.dataset_anime.speakers)[speaker]
-        frame_idx, ts_list, z_frames, _ = self._overlap_prefix(signal)
-        fn, consts = self._verts_jit
-        chunks = []
-        for chunk, keep in self._window_chunks(frame_idx):
-            spk = jnp.full((len(chunk),), speaker, jnp.int32)
-            flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
-            chunks.append(np.asarray(flat[:keep]))
-        verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
-        return ts_list, verts
+    def stream(self, speaker, emit_batch: int = 16):
+        """Real-time streaming session: push audio chunks, receive mesh
+        frames with bounded lookahead (no reference counterpart — the
+        reference is clip-offline only). See streaming.StreamingSession."""
+        from .streaming import StreamingSession
+
+        return StreamingSession(self, speaker, emit_batch=emit_batch)
 
     # ------------------------------------------------------------------
     def evaluate(

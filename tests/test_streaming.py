@@ -1,0 +1,103 @@
+"""StreamingSession == offline generate_vertices on the same audio.
+
+The streaming path recomputes the frontend in blocks, deltas with the
+band SG operators, and the suffix in emit_batch buckets — all
+reassociations of the offline math, so vertices match to fp tolerance
+and the timeline matches exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdfa_tpu.task import AnimationTask
+
+from _assets import ensure_pca_assets
+
+
+@pytest.fixture(scope="module")
+def shipped_task():
+    from sdfa_tpu.models import build_model
+    from sdfa_tpu.tools import configure
+
+    hp = configure("dgrad", dataset_root=ensure_pca_assets())
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((2, 64, 128, 3), jnp.float32),
+        jnp.zeros((2,), jnp.int32), False)
+    task = AnimationTask(hp, model, variables,
+                         device_frontend=True, overlap_frontend=True)
+    assert task.overlap_frontend
+    return hp, task
+
+
+def _sig(hp, seconds=1.6, seed=3):
+    sr = int(hp.audio.sample_rate)
+    t = np.arange(int(seconds * sr)) / sr
+    rng = np.random.default_rng(seed)
+    s = (0.3 * np.sin(2 * np.pi * 150 * t)
+         * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+         + 0.01 * rng.normal(size=len(t)))
+    return np.clip(s, -1, 1).astype(np.float32)
+
+
+class TestStreaming:
+    def test_matches_offline(self, shipped_task):
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=3.0)
+        ts_ref, verts_ref = task.generate_vertices(sig, 0)
+
+        sess = task.stream(0, emit_batch=16)
+        got = []
+        rng = np.random.default_rng(0)
+        i = 0
+        while i < len(sig):
+            n = int(rng.integers(400, 3000))
+            got.extend(sess.push(sig[i : i + n]))
+            i += n
+        n_live = len(got)
+        got.extend(sess.flush())
+
+        assert [ts for ts, _ in got] == list(ts_ref)
+        verts = np.stack([v for _, v in got])
+        assert verts.shape == verts_ref.shape
+        np.testing.assert_allclose(verts, verts_ref, atol=5e-5)
+        # most frames must arrive BEFORE flush (it's streaming, not batch)
+        assert n_live > len(got) * 0.55, (n_live, len(got))
+
+    def test_lookahead_bound(self, shipped_task):
+        """Every frame arrives within lookahead_s + one block of audio of
+        its timestamp: push sample-exact and record arrival positions."""
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=1.2, seed=5)
+        sr = int(hp.audio.sample_rate)
+        sess = task.stream(0, emit_batch=4)
+        block_s = sess.BLOCK * sess.spec.hop_size / sr
+        batch_s = sess.emit_batch / sess.spec.fps
+        # ts is the window center MINUS ts_delta (100 ms at the shipped
+        # config) — frames are stamped earlier than their audio
+        bound = (sess.lookahead_s + block_s + batch_s
+                 + sess.spec.ts_delta / 1000.0 + 0.05)
+        step = 160  # 20 ms pushes
+        for i in range(0, len(sig), step):
+            arrived_at = (i + step) / sr
+            for ts, _ in sess.push(sig[i : i + step]):
+                assert arrived_at - ts / 1000.0 <= bound, (ts, arrived_at)
+
+    def test_empty_and_flush_only(self, shipped_task):
+        """Zero real audio still yields the offline path's pad windows
+        (window_starts(0) is non-empty by the reference's geometry) —
+        streaming must match that, not return nothing."""
+        hp, task = shipped_task
+        sess = task.stream(0)
+        assert sess.push(np.zeros(0, np.float32)) == []
+        ts_ref, verts_ref = task.generate_vertices(
+            np.zeros(0, np.float32), 0)
+        got = sess.flush()
+        assert [ts for ts, _ in got] == list(ts_ref)
+        np.testing.assert_allclose(
+            np.stack([v for _, v in got]), verts_ref, atol=5e-5)
