@@ -63,12 +63,17 @@ class StreamingSession:
 
         s = self.spec
         self._pad = s.sliding  # same left zero-pad as frame_grid
-        # raw padded signal (host); preemphasis applied lazily per block
+        # rolling host buffers with ABSOLUTE offsets: consumed history is
+        # trimmed so an indefinite live session stays O(lookahead) memory
+        # (buffer_samples() exposes the retained sizes)
         self._sig = np.zeros(self._pad, np.float32)
+        self._sig_off = 0        # absolute sample index of _sig[0]
         self._n_real = 0
         self._t_mel = 0          # mel frames computed
-        self._mel = np.zeros((0, s.n_mels), np.float32)   # host mel history
-        self._z: List[np.ndarray] = []                    # host z blocks
+        self._mel = np.zeros((0, s.n_mels), np.float32)   # rolling mel
+        self._mel_off = 0        # absolute frame index of _mel[0]
+        self._zbuf = None        # rolling encoded frames (n, ...)
+        self._z_off = 0          # absolute frame index of _zbuf[0]
         self._z_done = 0         # encoded (delta-finalized) frames
         self._w_done = 0         # windows emitted
         self._flushed = False
@@ -149,43 +154,57 @@ class StreamingSession:
         # 1. mel frames
         while True:
             t0 = self._t_mel
-            need = t0 * s.hop_size + s.win_size + (B - 1) * s.hop_size
-            if len(self._sig) < need:
+            lo_abs = t0 * s.hop_size
+            need = lo_abs + s.win_size + (B - 1) * s.hop_size
+            if self._sig_off + len(self._sig) < need:
                 break
-            lo = t0 * s.hop_size
-            block = self._sig[lo : need]
+            lo = lo_abs - self._sig_off
+            block = self._sig[lo : need - self._sig_off]
             if s.preemph:
-                prev = self._sig[lo - 1] if lo else np.float32(0.0)
-                first = block[0] if lo == 0 else block[0] - s.preemph * prev
+                prev = self._sig[lo - 1] if lo_abs else np.float32(0.0)
+                first = block[0] if lo_abs == 0 else block[0] - s.preemph * prev
                 block = np.concatenate(
                     [[first], block[1:] - s.preemph * block[:-1]]
                 ).astype(np.float32)
             mel = np.asarray(self._mel_block(jnp.asarray(block)))
             self._mel = np.concatenate([self._mel, mel])
             self._t_mel += B
+            # trim consumed signal (keep one sample for the preemph carry)
+            cut = max(0, self._t_mel * s.hop_size - 1 - self._sig_off)
+            if cut:
+                self._sig = self._sig[cut:]
+                self._sig_off += cut
         # 2. deltas + prefix for delta-finalized frames, in BLOCK steps
         while self._z_done + B <= self._t_mel - self._DCTX:
             a = self._z_done
             feat = self._feat_with_deltas(a, a + B)      # (B, M, 3)
             z = np.asarray(self._encode_block(
                 self.task.variables, jnp.asarray(feat)))
-            self._z.append(z)
+            self._zbuf = (z if self._zbuf is None
+                          else np.concatenate([self._zbuf, z]))
             self._z_done += B
+            # trim mel consumed by deltas — but keep frames 0..8 until the
+            # left-edge fits (frames 0..3, context mel[0:9]) are done
+            if self._z_done - self._DCTX > 9:
+                cut = self._z_done - self._DCTX - 4 - self._mel_off
+                if cut > 0:
+                    self._mel = self._mel[cut:]
+                    self._mel_off += cut
 
     def _feat_with_deltas(self, a: int, b: int) -> np.ndarray:
         """(b-a, M, 3) features for mel frames [a, b) using the band SG
         operators; requires mel through b+4 (edge frames 0..3 use the
         offline operator's edge columns)."""
-        mel = self._mel
+        mel, off = self._mel, self._mel_off
         out = np.empty((b - a, mel.shape[1], 3), np.float32)
         for i, f in enumerate(range(a, b)):
-            out[i, :, 0] = mel[f]
+            out[i, :, 0] = mel[f - off]
             if f < self._DCTX:  # offline left-edge fit (frames 0..3)
-                ctx = mel[:9]   # (9, M)
+                ctx = mel[:9]   # (9, M); _mel_off is 0 until z_done > 13
                 out[i, :, 1] = ctx.T @ self._e1[:, f]
                 out[i, :, 2] = ctx.T @ self._e2[:, f]
             else:
-                ctx = mel[f - 4 : f + 5]
+                ctx = mel[f - 4 - off : f + 5 - off]
                 out[i, :, 1] = ctx.T @ self._k1
                 out[i, :, 2] = ctx.T @ self._k2
         return out
@@ -207,14 +226,24 @@ class StreamingSession:
                 break
             out.extend(self._run_batch(batch))
             self._w_done = batch[-1][0] + 1
+            # trim z consumed by every window before the next unemitted one
+            cut = self._window_geom(self._w_done)[0] - self._z_off
+            if cut > 0 and self._zbuf is not None:
+                self._zbuf = self._zbuf[cut:]
+                self._z_off += cut
         return out
+
+    def buffer_samples(self) -> dict:
+        """Retained host-buffer sizes — bounded for indefinite sessions."""
+        return dict(sig=len(self._sig), mel=len(self._mel),
+                    z=0 if self._zbuf is None else len(self._zbuf))
 
     def _run_batch(self, batch):
         s = self.spec
-        z_all = np.concatenate(self._z)
         lo = batch[0][1]  # first window's f0; batch span < _slice_len
-        z_slice = z_all[lo : lo + self._slice_len]
-        if len(z_slice) < self._slice_len:  # left-of-history start: pad
+        rel = lo - self._z_off
+        z_slice = self._zbuf[rel : rel + self._slice_len]
+        if len(z_slice) < self._slice_len:  # near the live edge: pad
             z_slice = np.concatenate(
                 [z_slice, np.zeros((self._slice_len - len(z_slice),)
                                    + z_slice.shape[1:], np.float32)])

@@ -101,3 +101,28 @@ class TestStreaming:
         assert [ts for ts, _ in got] == list(ts_ref)
         np.testing.assert_allclose(
             np.stack([v for _, v in got]), verts_ref, atol=5e-5)
+
+    def test_long_session_bounded_memory(self, shipped_task):
+        """An indefinite live session must not grow host buffers: after
+        trimming, sig/mel/z stay O(lookahead + block), independent of how
+        much audio has been pushed."""
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        sess = task.stream(0, emit_batch=16)
+        rng = np.random.default_rng(7)
+        total, n_frames = 0, 0
+        caps = dict(sig=0, mel=0, z=0)
+        for _ in range(24):          # 12 s in 0.5 s pushes
+            chunk = np.clip(0.1 * rng.normal(size=sr // 2), -1, 1
+                            ).astype(np.float32)
+            n_frames += len(sess.push(chunk))
+            total += len(chunk)
+            for k, v in sess.buffer_samples().items():
+                caps[k] = max(caps[k], v)
+        n_frames += len(sess.flush())
+        assert n_frames == sess._n_windows(total)
+        # bounds: signal ~ one mel block + window span; mel/z ~ a few
+        # hundred frames regardless of the 12 s pushed (~96k samples)
+        assert caps["sig"] < 3 * sess.spec.sliding, caps
+        assert caps["mel"] < 600, caps
+        assert caps["z"] < 600, caps
