@@ -382,13 +382,16 @@ class AnimationTask:
                 self._verts_jit = (jax.jit(fn), tmpl)
         return self._verts_jit
 
-    def stream(self, speaker, emit_batch: int = 16):
+    def stream(self, speaker, emit_batch: int = 16, block_frames: int = 16):
         """Real-time streaming session: push audio chunks, receive mesh
         frames with bounded lookahead (no reference counterpart — the
-        reference is clip-offline only). See streaming.StreamingSession."""
+        reference is clip-offline only). Larger emit_batch/block_frames
+        trade latency for fewer dispatches (tunnel/RTT-bound hosts).
+        See streaming.StreamingSession."""
         from .streaming import StreamingSession
 
-        return StreamingSession(self, speaker, emit_batch=emit_batch)
+        return StreamingSession(self, speaker, emit_batch=emit_batch,
+                                block_frames=block_frames)
 
     # ------------------------------------------------------------------
     def evaluate(
