@@ -55,18 +55,37 @@ class WindowSpec:
         self.ts_delta = float(hparams.anime.feature.ts_delta)
         self.sliding = self.hop_size * (self.frames - 1) + self.win_size
 
+    def window_geom(self, w: int) -> Tuple[int, int]:
+        """(start_sample, ts_ms) of the w-th output window (w >= 0) —
+        the single source of the per-window arithmetic, shared by the
+        offline paths and streaming.StreamingSession."""
+        m = math.floor((w - 1.0) * self.sr / self.fps)
+        e = m + self.sliding // 2
+        s = e - self.sliding
+        ts = int(round((s + e) / 2 * 1000.0 / self.sr - self.ts_delta))
+        return s, ts
+
+    def n_windows(self, n_samples: int) -> int:
+        """Window count for a clip length — closed form of the reference
+        loop condition ``(w-1)·sr/fps + sliding <= n + 2·sliding``, locally
+        adjusted with the exact float comparison so edge cases match the
+        iterative loop bit-for-bit."""
+        def ok(w):
+            return (w - 1.0) * self.sr / self.fps + self.sliding \
+                <= n_samples + 2 * self.sliding
+        w = max(0, int((n_samples + self.sliding) * self.fps / self.sr) - 1)
+        while not ok(w) and w > 0:
+            w -= 1
+        while ok(w):
+            w += 1
+        return w
+
     def window_starts(self, n_samples: int) -> Tuple[np.ndarray, list]:
         """Start sample (into the original signal) + ts list per 60fps frame."""
-        starts, ts_list = [], []
-        idx = -1.0
-        while idx * self.sr / self.fps + self.sliding <= n_samples + self.sliding * 2:
-            m = math.floor(idx * self.sr / self.fps)
-            e = m + self.sliding // 2
-            s = e - self.sliding
-            ts = int(round((s + e) / 2 * 1000.0 / self.sr - self.ts_delta))
-            starts.append(s)
-            ts_list.append(ts)
-            idx += 1.0
+        n = self.n_windows(n_samples)
+        geo = [self.window_geom(w) for w in range(n)]
+        starts = [g[0] for g in geo]
+        ts_list = [g[1] for g in geo]
         return np.asarray(starts, np.int32), ts_list
 
     # -- window-overlap fast path geometry --------------------------------

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .audio import dsp
+from .nn.precision import OPS_PREC as _PREC
 
 
 class StreamingSession:
@@ -60,6 +61,13 @@ class StreamingSession:
         assert task.overlap_frontend, (
             "streaming rides the overlap fast path — construct the task "
             "with device_frontend=True (encoder prefix must be usable)")
+        assert self.BLOCK >= 8, (
+            "block_frames must be >= 8 (the left-edge delta fit needs the "
+            "first 9 mel frames before the first encode block)")
+        face_type = task.hp.model.face_data_type
+        assert face_type in ("dgrad_3d", "verts_off_3d", "verts_pos_3d"), (
+            f"streaming emits meshes; face type {face_type!r} has no "
+            "vertex decoding (use feature_to_anime/generate_animation)")
 
         s = self.spec
         self._pad = s.sliding  # same left zero-pad as frame_grid
@@ -89,31 +97,9 @@ class StreamingSession:
         self._e1 = full[0][:width, : self._DCTX].copy()  # (9, 4)
         self._e2 = full[1][:width, : self._DCTX].copy()
 
-        # per-session jitted frontend block: preemphed samples → mel block
-        def mel_block(pre):
-            frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-            frames = frames * jnp.asarray(dsp.get_window(s.win_fn, s.win_size))
-            cos_b, sin_b = dsp.dft_bases(s.win_size)
-            re = jnp.matmul(frames, jnp.asarray(cos_b))
-            im = jnp.matmul(frames, jnp.asarray(sin_b))
-            power = re * re + im * im
-            filt = jnp.asarray(dsp.mel_filters(s.sr, s.win_size, s.n_mels,
-                                               s.fmin, s.fmax))
-            mel = jnp.matmul(power, filt.T)
-            mel = dsp.power_to_db(mel)
-            if s.normalize:
-                mel = dsp.normalize_db(mel, s.ref_db, s.top_db, s.clip)
-            return mel  # (BLOCK, M)
-
-        self._mel_block = jax.jit(mel_block)
-
-        from .models.sdfa import SpeechDrivenAnimation
-
-        def encode_block(variables, feats):  # (B, M, 3) → (B, D)
-            return task.model.apply(variables, feats,
-                                    method=SpeechDrivenAnimation.encode_frames)
-
-        self._encode_block = jax.jit(encode_block)
+        # task-level cached jits (one compile per task + block size, not
+        # per session — live services create a session per utterance)
+        self._mel_block, self._encode_block = task._get_stream_fns()
         self._verts_fn, self._consts = task._get_verts_fn()
 
         # z-slice length for one emit batch: 64 window frames + the hop
@@ -131,20 +117,14 @@ class StreamingSession:
 
     def _window_geom(self, w: int):
         s = self.spec
-        m = math.floor((w - 1.0) * s.sr / s.fps)
-        e = m + s.sliding // 2
-        start = e - s.sliding
-        ts = int(round((start + e) / 2 * 1000.0 / s.sr - s.ts_delta))
+        start, ts = s.window_geom(w)  # shared with the offline paths
+        # hop-snap exactly like frame_grid (np.round = banker's rounding)
         snapped = int(np.round(np.float64(start) / s.hop_size)) * s.hop_size
         f0 = (snapped + self._pad) // s.hop_size
         return f0, ts
 
     def _n_windows(self, n_samples: int) -> int:
-        s = self.spec
-        w = 0
-        while (w - 1.0) * s.sr / s.fps + s.sliding <= n_samples + 2 * s.sliding:
-            w += 1
-        return w
+        return self.spec.n_windows(n_samples)
 
     # -- pipeline ----------------------------------------------------------
     def _ingest(self):

@@ -109,6 +109,7 @@ class AnimationTask:
         self._encode_frames = jax.jit(encode_frames)
         self._fwd_windows = jax.jit(fwd_windows)
         self._verts_jit = None  # lazily-built fused anime→vertices path
+        self._stream_jits = None  # lazily-built streaming block fns
 
     def _wspec(self):
         from .audio.pipeline import _spec_cache
@@ -381,6 +382,44 @@ class AnimationTask:
 
                 self._verts_jit = (jax.jit(fn), tmpl)
         return self._verts_jit
+
+    def _get_stream_fns(self):
+        """(mel_block_fn, encode_block_fn) for StreamingSession — built
+        once per task; jit specializes per block shape, so sessions with
+        the same block_frames share traces and compiles."""
+        if self._stream_jits is None:
+            from .audio import dsp
+            from .nn.precision import OPS_PREC as _SPREC
+
+            s = self._wspec()
+            model = self.model
+
+            def mel_block(pre):
+                frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+                frames = frames * jnp.asarray(
+                    dsp.get_window(s.win_fn, s.win_size))
+                cos_b, sin_b = dsp.dft_bases(s.win_size)
+                # HIGHEST precision like the offline frontend — the DSP is
+                # the parity backbone; default (bf16 on TPU) would break
+                # the streaming ≡ offline contract exactly on hardware
+                re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_SPREC)
+                im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_SPREC)
+                power = re * re + im * im
+                filt = jnp.asarray(dsp.mel_filters(
+                    s.sr, s.win_size, s.n_mels, s.fmin, s.fmax))
+                mel = jnp.matmul(power, filt.T, precision=_SPREC)
+                mel = dsp.power_to_db(mel)
+                if s.normalize:
+                    mel = dsp.normalize_db(mel, s.ref_db, s.top_db, s.clip)
+                return mel  # (B, M)
+
+            def encode_block(variables, feats):  # (B, M, 3) → (B, D)
+                return model.apply(
+                    variables, feats,
+                    method=SpeechDrivenAnimation.encode_frames)
+
+            self._stream_jits = (jax.jit(mel_block), jax.jit(encode_block))
+        return self._stream_jits
 
     def stream(self, speaker, emit_batch: int = 16, block_frames: int = 16):
         """Real-time streaming session: push audio chunks, receive mesh
