@@ -7,13 +7,13 @@ fixed lookahead of roughly half a sliding window (sliding/2 ≈ 0.28 s at
 the shipped config) plus the Δ/Δ² context (4 hop frames ≈ 0.03 s),
 reusing the overlap fast path's machinery:
 
-- the mel frontend runs per fixed-size frame block (one jitted shape);
-- Δ/Δ² are applied with the band-structured Savitzky-Golay operator
-  (``dsp.delta_matrix`` interior columns are a shift-invariant 9-tap
-  kernel; the first 4 frames use the T-independent edge columns — both
-  verified identical to the offline whole-clip operator);
-- the per-frame encoder prefix (time-independent by construction,
-  ``nn.spec.time_independent_prefix``) runs per block;
+- per block, ONE fused device call (``task._get_stream_fns``) runs the
+  mel frontend, the band-structured Savitzky-Golay Δ/Δ² (the offline
+  ``dsp.delta_matrix``'s interior 9-tap kernel; T-independent edge
+  columns for frames 0..3 — both verified identical to the whole-clip
+  operator), and the per-frame encoder prefix (time-independent by
+  construction, ``nn.spec.time_independent_prefix``), carrying an
+  8-frame mel tail between calls on device;
 - the biLSTM/attention suffix + decode + solve run per ``emit_batch``
   windows through the same fused fn as ``AnimationTask.generate_vertices``
   (``task._get_verts_fn``), gathering from a bounded z-slice.
@@ -61,9 +61,9 @@ class StreamingSession:
         assert task.overlap_frontend, (
             "streaming rides the overlap fast path — construct the task "
             "with device_frontend=True (encoder prefix must be usable)")
-        assert self.BLOCK >= 8, (
-            "block_frames must be >= 8 (the left-edge delta fit needs the "
-            "first 9 mel frames before the first encode block)")
+        assert self.BLOCK >= 9, (
+            "block_frames must be >= 9 (the left-edge delta fit needs the "
+            "first 9 mel frames inside the first fused block)")
         face_type = task.hp.model.face_data_type
         assert face_type in ("dgrad_3d", "verts_off_3d", "verts_pos_3d"), (
             f"streaming emits meshes; face type {face_type!r} has no "
@@ -78,28 +78,16 @@ class StreamingSession:
         self._sig_off = 0        # absolute sample index of _sig[0]
         self._n_real = 0
         self._t_mel = 0          # mel frames computed
-        self._mel = np.zeros((0, s.n_mels), np.float32)   # rolling mel
-        self._mel_off = 0        # absolute frame index of _mel[0]
+        self._mel_tail = jnp.zeros((8, s.n_mels), jnp.float32)  # device carry
         self._zbuf = None        # rolling encoded frames (n, ...)
         self._z_off = 0          # absolute frame index of _zbuf[0]
         self._z_done = 0         # encoded (delta-finalized) frames
         self._w_done = 0         # windows emitted
         self._flushed = False
 
-        # band delta operators (verified ≡ delta_matrix(T) interior/edge)
-        width = 9
-        full = dsp.delta_matrix(4 * width, 1), dsp.delta_matrix(4 * width, 2)
-        # interior kernel: column at a fully-interior position
-        c = 2 * width
-        self._k1 = full[0][c - 4 : c + 5, c].copy()   # (9,)
-        self._k2 = full[1][c - 4 : c + 5, c].copy()
-        # edge columns 0..3 (support rows 0..8, T-independent)
-        self._e1 = full[0][:width, : self._DCTX].copy()  # (9, 4)
-        self._e2 = full[1][:width, : self._DCTX].copy()
-
         # task-level cached jits (one compile per task + block size, not
         # per session — live services create a session per utterance)
-        self._mel_block, self._encode_block = task._get_stream_fns()
+        self._fused_first, self._fused_steady = task._get_stream_fns(self.BLOCK)
         self._verts_fn, self._consts = task._get_verts_fn()
 
         # z-slice length for one emit batch: 64 window frames + the hop
@@ -128,10 +116,12 @@ class StreamingSession:
 
     # -- pipeline ----------------------------------------------------------
     def _ingest(self):
-        """Advance mel → deltas → prefix as far as the buffered signal
-        allows (whole BLOCK-frame steps; the tail waits for more audio)."""
+        """Advance the pipeline one fused device call per complete block:
+        mel + Δ/Δ² + encoder prefix in one round-trip; the 8-frame mel
+        tail carries between calls on device. z lags the mel cursor by
+        exactly the 4-frame Δ context (the first block emits B−4 frames
+        with the offline edge fits, steady-state emits B)."""
         s, B = self.spec, self.BLOCK
-        # 1. mel frames
         while True:
             t0 = self._t_mel
             lo_abs = t0 * s.hop_size
@@ -146,48 +136,19 @@ class StreamingSession:
                 block = np.concatenate(
                     [[first], block[1:] - s.preemph * block[:-1]]
                 ).astype(np.float32)
-            mel = np.asarray(self._mel_block(jnp.asarray(block)))
-            self._mel = np.concatenate([self._mel, mel])
+            fn = self._fused_first if t0 == 0 else self._fused_steady
+            self._mel_tail, z = fn(self.task.variables, jnp.asarray(block),
+                                   self._mel_tail)
+            z = np.asarray(z)
+            self._zbuf = (z if self._zbuf is None
+                          else np.concatenate([self._zbuf, z]))
+            self._z_done += len(z)
             self._t_mel += B
             # trim consumed signal (keep one sample for the preemph carry)
             cut = max(0, self._t_mel * s.hop_size - 1 - self._sig_off)
             if cut:
                 self._sig = self._sig[cut:]
                 self._sig_off += cut
-        # 2. deltas + prefix for delta-finalized frames, in BLOCK steps
-        while self._z_done + B <= self._t_mel - self._DCTX:
-            a = self._z_done
-            feat = self._feat_with_deltas(a, a + B)      # (B, M, 3)
-            z = np.asarray(self._encode_block(
-                self.task.variables, jnp.asarray(feat)))
-            self._zbuf = (z if self._zbuf is None
-                          else np.concatenate([self._zbuf, z]))
-            self._z_done += B
-            # trim mel consumed by deltas — but keep frames 0..8 until the
-            # left-edge fits (frames 0..3, context mel[0:9]) are done
-            if self._z_done - self._DCTX > 9:
-                cut = self._z_done - self._DCTX - 4 - self._mel_off
-                if cut > 0:
-                    self._mel = self._mel[cut:]
-                    self._mel_off += cut
-
-    def _feat_with_deltas(self, a: int, b: int) -> np.ndarray:
-        """(b-a, M, 3) features for mel frames [a, b) using the band SG
-        operators; requires mel through b+4 (edge frames 0..3 use the
-        offline operator's edge columns)."""
-        mel, off = self._mel, self._mel_off
-        out = np.empty((b - a, mel.shape[1], 3), np.float32)
-        for i, f in enumerate(range(a, b)):
-            out[i, :, 0] = mel[f - off]
-            if f < self._DCTX:  # offline left-edge fit (frames 0..3)
-                ctx = mel[:9]   # (9, M); _mel_off is 0 until z_done > 13
-                out[i, :, 1] = ctx.T @ self._e1[:, f]
-                out[i, :, 2] = ctx.T @ self._e2[:, f]
-            else:
-                ctx = mel[f - 4 - off : f + 5 - off]
-                out[i, :, 1] = ctx.T @ self._k1
-                out[i, :, 2] = ctx.T @ self._k2
-        return out
 
     def _emit_ready(self, limit_w: int) -> List[Tuple[float, np.ndarray]]:
         """Emit complete windows < limit_w whose frames are encoded."""
@@ -214,8 +175,9 @@ class StreamingSession:
         return out
 
     def buffer_samples(self) -> dict:
-        """Retained host-buffer sizes — bounded for indefinite sessions."""
-        return dict(sig=len(self._sig), mel=len(self._mel),
+        """Retained buffer sizes — bounded for indefinite sessions (the
+        mel state is just the 8-frame device-side tail carry)."""
+        return dict(sig=len(self._sig), mel=int(self._mel_tail.shape[0]),
                     z=0 if self._zbuf is None else len(self._zbuf))
 
     def _run_batch(self, batch):

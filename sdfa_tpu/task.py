@@ -383,43 +383,88 @@ class AnimationTask:
                 self._verts_jit = (jax.jit(fn), tmpl)
         return self._verts_jit
 
-    def _get_stream_fns(self):
-        """(mel_block_fn, encode_block_fn) for StreamingSession — built
-        once per task; jit specializes per block shape, so sessions with
-        the same block_frames share traces and compiles."""
+    def _get_stream_fns(self, block_frames: int):
+        """(fused_first_fn, fused_steady_fn) for StreamingSession — ONE
+        device call per block: mel frontend + band Savitzky-Golay Δ/Δ² +
+        the per-frame encoder prefix, with an 8-frame mel tail carried
+        between calls (device-resident, never downloaded). Halves the
+        per-block round-trips vs separate mel/encode calls — the dominant
+        cost on RTT-bound hosts. Cached per (task, block_frames); jit
+        retraces nothing across sessions.
+
+        fn(variables, pre_block, mel_carry (8, M)) →
+        (mel_tail (8, M), z (n_out, D)); the first-block variant applies
+        the offline operator's T-independent edge fits for frames 0..3
+        and emits block_frames−4 frames, steady-state emits block_frames
+        frames lagging the mel cursor by exactly the 4-frame Δ context."""
         if self._stream_jits is None:
+            self._stream_jits = {}
+        if block_frames not in self._stream_jits:
             from .audio import dsp
             from .nn.precision import OPS_PREC as _SPREC
 
             s = self._wspec()
             model = self.model
+            B, width = int(block_frames), 9
+            d1m, d2m = dsp.delta_matrix(4 * width, 1), dsp.delta_matrix(4 * width, 2)
+            c = 2 * width
+            k1, k2 = d1m[c - 4 : c + 5, c], d2m[c - 4 : c + 5, c]  # (9,)
+            e1, e2 = d1m[:width, :4], d2m[:width, :4]              # (9, 4)
 
-            def mel_block(pre):
-                frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-                frames = frames * jnp.asarray(
-                    dsp.get_window(s.win_fn, s.win_size))
-                cos_b, sin_b = dsp.dft_bases(s.win_size)
-                # HIGHEST precision like the offline frontend — the DSP is
-                # the parity backbone; default (bf16 on TPU) would break
-                # the streaming ≡ offline contract exactly on hardware
-                re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_SPREC)
-                im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_SPREC)
-                power = re * re + im * im
-                filt = jnp.asarray(dsp.mel_filters(
-                    s.sr, s.win_size, s.n_mels, s.fmin, s.fmax))
-                mel = jnp.matmul(power, filt.T, precision=_SPREC)
-                mel = dsp.power_to_db(mel)
-                if s.normalize:
-                    mel = dsp.normalize_db(mel, s.ref_db, s.top_db, s.clip)
-                return mel  # (B, M)
+            def band_ops(first: bool):
+                n_out = B - 4 if first else B
+                K1 = np.zeros((B + 8, n_out), np.float32)
+                K2 = np.zeros((B + 8, n_out), np.float32)
+                for j in range(n_out):
+                    if first and j < 4:   # frames 0..3: edge fit on ctx
+                        K1[8:17, j] = e1[:, j]   # rows 8..16 ↔ frames 0..8
+                        K2[8:17, j] = e2[:, j]
+                    else:
+                        # output j ↔ frame t0-4+j ↔ ctx rows [j+o-4, j+o+5)
+                        o = 8 if first else 4
+                        K1[j + o - 4 : j + o + 5, j] = k1
+                        K2[j + o - 4 : j + o + 5, j] = k2
+                return K1, K2, (8 if first else 4), n_out
 
-            def encode_block(variables, feats):  # (B, M, 3) → (B, D)
-                return model.apply(
-                    variables, feats,
-                    method=SpeechDrivenAnimation.encode_frames)
+            def make_fused(first: bool):
+                K1, K2, center0, n_out = band_ops(first)
+                K1j, K2j = jnp.asarray(K1), jnp.asarray(K2)
 
-            self._stream_jits = (jax.jit(mel_block), jax.jit(encode_block))
-        return self._stream_jits
+                def fused(variables, pre, carry):
+                    frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+                    frames = frames * jnp.asarray(
+                        dsp.get_window(s.win_fn, s.win_size))
+                    cos_b, sin_b = dsp.dft_bases(s.win_size)
+                    # HIGHEST precision like the offline frontend — the
+                    # DSP is the parity backbone; bf16 default would break
+                    # streaming ≡ offline exactly on TPU
+                    re = jnp.matmul(frames, jnp.asarray(cos_b),
+                                    precision=_SPREC)
+                    im = jnp.matmul(frames, jnp.asarray(sin_b),
+                                    precision=_SPREC)
+                    power = re * re + im * im
+                    filt = jnp.asarray(dsp.mel_filters(
+                        s.sr, s.win_size, s.n_mels, s.fmin, s.fmax))
+                    mel = jnp.matmul(power, filt.T, precision=_SPREC)
+                    mel = dsp.power_to_db(mel)
+                    if s.normalize:
+                        mel = dsp.normalize_db(mel, s.ref_db, s.top_db,
+                                               s.clip)
+                    ctx = jnp.concatenate([carry, mel])  # (B+8, M)
+                    d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
+                    d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
+                    center = ctx[center0 : center0 + n_out]
+                    feats = jnp.stack([center, d1, d2], axis=-1)
+                    z = model.apply(
+                        variables, feats,
+                        method=SpeechDrivenAnimation.encode_frames)
+                    return ctx[-8:], z
+
+                return jax.jit(fused)
+
+            self._stream_jits[block_frames] = (make_fused(True),
+                                               make_fused(False))
+        return self._stream_jits[block_frames]
 
     def stream(self, speaker, emit_batch: int = 16, block_frames: int = 16):
         """Real-time streaming session: push audio chunks, receive mesh
