@@ -128,6 +128,28 @@ class WindowSpec:
         return frame_idx, ts_list, pad, pad_right, int(t_total)
 
 
+
+def mel_from_frames(frames: jnp.ndarray, spec: WindowSpec) -> jnp.ndarray:
+    """Framed signal (..., T, win) → normalized mel-dB (..., T, M).
+
+    The ONE copy of the window→DFT→power→mel→dB→normalize math shared by
+    the offline clip path, the per-window exact path, and the streaming
+    fused block (task._get_stream_fns) — a frontend tweak (e.g. the
+    HIGHEST-precision pin) lands everywhere at once."""
+    frames = frames * jnp.asarray(dsp.get_window(spec.win_fn, spec.win_size))
+    cos_b, sin_b = dsp.dft_bases(spec.win_size)
+    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
+    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
+    power = re * re + im * im
+    filt = jnp.asarray(dsp.mel_filters(spec.sr, spec.win_size, spec.n_mels,
+                                       spec.fmin, spec.fmax))
+    mel = jnp.matmul(power, filt.T, precision=_PREC)
+    mel = dsp.power_to_db(mel)
+    if spec.normalize:
+        mel = dsp.normalize_db(mel, spec.ref_db, spec.top_db, spec.clip)
+    return mel
+
+
 @functools.partial(jax.jit, static_argnames=("spec",))
 def clip_frame_features_padded(padded: jnp.ndarray, spec: WindowSpec) -> jnp.ndarray:
     """Pre-padded signal (n + pad_left + pad_right,) → clip-level features
@@ -146,17 +168,7 @@ def clip_frame_features_padded(padded: jnp.ndarray, spec: WindowSpec) -> jnp.nda
     if spec.preemph:
         padded = dsp.preemphasis(padded, spec.preemph)
     frames = dsp.frame_signal(padded, spec.win_size, spec.hop_size)
-    frames = frames * jnp.asarray(dsp.get_window(spec.win_fn, spec.win_size))
-    cos_b, sin_b = dsp.dft_bases(spec.win_size)
-    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
-    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
-    power = re * re + im * im  # (T, freq)
-    filt = jnp.asarray(dsp.mel_filters(spec.sr, spec.win_size, spec.n_mels,
-                                       spec.fmin, spec.fmax))
-    mel = jnp.matmul(power, filt.T, precision=_PREC)  # (T, M)
-    mel = dsp.power_to_db(mel)
-    if spec.normalize:
-        mel = dsp.normalize_db(mel, spec.ref_db, spec.top_db, spec.clip)
+    mel = mel_from_frames(frames, spec)  # (T, M)
     feat = mel.T  # (M, T)
     d1 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(feat.shape[-1], 1)),
                     precision=_PREC)
@@ -190,17 +202,7 @@ def window_features_device(
         )
     # framing: (W, T, win)
     fidx = np.arange(spec.frames)[:, None] * spec.hop_size + np.arange(spec.win_size)[None, :]
-    frames = wav[:, fidx] * jnp.asarray(dsp.get_window(spec.win_fn, spec.win_size))
-    cos_b, sin_b = dsp.dft_bases(spec.win_size)
-    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
-    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
-    power = re * re + im * im  # (W, T, freq)
-    filt = jnp.asarray(dsp.mel_filters(spec.sr, spec.win_size, spec.n_mels,
-                                       spec.fmin, spec.fmax))
-    mel = jnp.einsum("mf,wtf->wtm", filt, power, precision=_PREC)  # (W, T, M)
-    mel = dsp.power_to_db(mel)
-    if spec.normalize:
-        mel = dsp.normalize_db(mel, spec.ref_db, spec.top_db, spec.clip)
+    mel = mel_from_frames(wav[:, fidx], spec)  # (W, T, M)
     # deltas along T: mel (W, T, M) → need ops along T axis
     feat = jnp.swapaxes(mel, 1, 2)  # (W, M, T)
     d1 = jnp.matmul(feat, jnp.asarray(dsp.delta_matrix(spec.frames, 1)), precision=_PREC)

@@ -29,12 +29,8 @@ from __future__ import annotations
 import math
 from typing import List, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
-
-from .audio import dsp
-from .nn.precision import OPS_PREC as _PREC
 
 
 class StreamingSession:

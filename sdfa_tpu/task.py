@@ -431,25 +431,10 @@ class AnimationTask:
                 K1j, K2j = jnp.asarray(K1), jnp.asarray(K2)
 
                 def fused(variables, pre, carry):
+                    from .audio.pipeline import mel_from_frames
+
                     frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-                    frames = frames * jnp.asarray(
-                        dsp.get_window(s.win_fn, s.win_size))
-                    cos_b, sin_b = dsp.dft_bases(s.win_size)
-                    # HIGHEST precision like the offline frontend — the
-                    # DSP is the parity backbone; bf16 default would break
-                    # streaming ≡ offline exactly on TPU
-                    re = jnp.matmul(frames, jnp.asarray(cos_b),
-                                    precision=_SPREC)
-                    im = jnp.matmul(frames, jnp.asarray(sin_b),
-                                    precision=_SPREC)
-                    power = re * re + im * im
-                    filt = jnp.asarray(dsp.mel_filters(
-                        s.sr, s.win_size, s.n_mels, s.fmin, s.fmax))
-                    mel = jnp.matmul(power, filt.T, precision=_SPREC)
-                    mel = dsp.power_to_db(mel)
-                    if s.normalize:
-                        mel = dsp.normalize_db(mel, s.ref_db, s.top_db,
-                                               s.clip)
+                    mel = mel_from_frames(frames, s)  # shared frontend math
                     ctx = jnp.concatenate([carry, mel])  # (B+8, M)
                     d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
                     d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
