@@ -283,16 +283,21 @@ def main():
                          spec=spec, out_layout="3v")
         return verts  # (K·W, 3, V)
 
-    def pipeline_fn(variables, consts, signals, starts):
-        if not use_overlap:
-            # group-sequential INSIDE one call: amortizes dispatch without
-            # blowing peak memory up to the all-clips batch
-            out = jax.lax.map(
-                lambda grp: exact_group(variables, consts, grp, starts),
-                signals.reshape(n_clips // chunk, chunk, -1))
-            return out.reshape((-1,) + out.shape[2:])  # (C·W, 3, V)
+    # decode+solve in bounded sub-batches: forward_windows(raw_pca=True)
+    # returns tiny PCA coefficients (265 floats/window); the expansion
+    # to 89,784 floats + the solver's ~15 live (w, n_tris) temps happen
+    # chunk-by-chunk under lax.map, bounding the HBM high-water mark
+    # (96 clips all-at-once = 18.2 GB > 15.75 GB). Measured cost of
+    # chunking at 64 clips: ~2% (627× single-batch vs 614× at
+    # chunk 3296), so the default only chunks ABOVE the 64-clip
+    # working set; beyond that, 96 clips compiles but is slower
+    # (486×) and 128 exhausts at runtime — 64 is the qualified
+    # optimum either way (DESIGN.md §12).
+    dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 16384))
 
-        # stage 1: frontend + per-frame prefix, one batched call per group
+    def stage1_fn(variables, signals):
+        """Frontend + per-frame encoder prefix → flat multi-clip z table."""
+
         def encode_group(sig_group):  # (K, S) → (K, T_total, D)
             feats = jax.vmap(
                 lambda s: audio_pipeline.clip_frame_features_device(
@@ -301,25 +306,12 @@ def main():
                 variables, feats, method=SpeechDrivenAnimation.encode_frames_batch)
 
         z = jax.lax.map(encode_group, signals.reshape(n_clips // chunk, chunk, -1))
-        z_flat = z.reshape((n_clips * t_total,) + z.shape[3:])
+        return z.reshape((n_clips * t_total,) + z.shape[3:])
 
-        # stage 2: suffix + decode + solve per group, all the group's
-        # windows in one batch (frame_idx offsets address the flat
-        # multi-clip frame table — forward_windows gathers from it as-is)
-        idx_all = (jnp.arange(n_clips, dtype=jnp.int32)[:, None, None] * t_total
-                   + frame_idx[None])  # (C, W, frames)
-
-        # decode+solve in bounded sub-batches: forward_windows(raw_pca=True)
-        # returns tiny PCA coefficients (265 floats/window); the expansion
-        # to 89,784 floats + the solver's ~15 live (w, n_tris) temps happen
-        # chunk-by-chunk under lax.map, bounding the HBM high-water mark
-        # (96 clips all-at-once = 18.2 GB > 15.75 GB). Measured cost of
-        # chunking at 64 clips: ~2% (627× single-batch vs 614× at
-        # chunk 3296), so the default only chunks ABOVE the 64-clip
-        # working set; beyond that, 96 clips compiles but is slower
-        # (486×) and 128 exhausts at runtime — 64 is the qualified
-        # optimum either way (DESIGN.md §12).
-        dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 16384))
+    def stage2_fn(variables, consts, z_flat, idx_all):
+        """Window suffix + PCA decode + deformation solve per group, all the
+        group's windows in one batch (frame_idx offsets address the flat
+        multi-clip frame table — forward_windows gathers from it as-is)."""
 
         def decode_solve(preds):  # {coeffs (w, 1, P)} → (w, 3, V)
             anime = model.decode_to_anime(variables, preds)
@@ -341,6 +333,23 @@ def main():
             idx_all.reshape(n_clips // chunk, chunk, *idx_all.shape[1:]))
         return out.reshape((-1,) + out.shape[2:])  # (C·W, 3, V)
 
+    def pipeline_fn(variables, consts, signals, starts):
+        if not use_overlap:
+            # group-sequential INSIDE one call: amortizes dispatch without
+            # blowing peak memory up to the all-clips batch
+            out = jax.lax.map(
+                lambda grp: exact_group(variables, consts, grp, starts),
+                signals.reshape(n_clips // chunk, chunk, -1))
+            return out.reshape((-1,) + out.shape[2:])  # (C·W, 3, V)
+
+        # stage 1: frontend + per-frame prefix, one batched call per group
+        z_flat = stage1_fn(variables, signals)
+        # stage 2: suffix + decode + solve (window offsets into the flat
+        # multi-clip frame table, built on device inside the trace)
+        idx_all = (jnp.arange(n_clips, dtype=jnp.int32)[:, None, None] * t_total
+                   + frame_idx[None])  # (C, W, frames)
+        return stage2_fn(variables, consts, z_flat, idx_all)
+
     fn = jax.jit(pipeline_fn)
     sig_dev = jnp.asarray(signals)
     starts = jnp.asarray(starts_np)
@@ -361,12 +370,80 @@ def main():
     dt = sorted(times)[len(times) // 2]  # median, per-call blocked
 
     x_realtime = seconds * n_clips / dt
+    audio_s = seconds * n_clips
+
+    # ---- FLOPs / MFU / roofline accounting (VERDICT r2 #3) ----
+    # ×realtime alone says nothing about headroom; report what fraction of
+    # the chip's peak the pipeline actually uses, per stage, so the next
+    # optimization target comes from a roofline, not a hunch. Peaks are
+    # TPU v5e datasheet numbers; matmuls here run 3-pass-bf16 f32
+    # ("high"), so bf16 peak is the honest MXU yardstick.
+    V5E_PEAK_TFLOPS = 197.0   # bf16
+    V5E_HBM_GBPS = 819.0
+
+    def _stage_stats(stats_fn, example_args, wall_s):
+        from sdfa_tpu import profiling
+
+        costs = profiling.cost_analysis(stats_fn, *example_args)
+        flops = float(costs.get("flops", 0.0))
+        byt = float(costs.get("bytes accessed", 0.0))
+        tflops = flops / wall_s / 1e12
+        return {
+            "ms_per_call": round(wall_s * 1e3, 2),
+            "gflops": round(flops / 1e9, 2),
+            "tflops_achieved": round(tflops, 2),
+            "mfu_pct_v5e_bf16_peak": round(100.0 * tflops / V5E_PEAK_TFLOPS, 2),
+            "hbm_gb": round(byt / 1e9, 2),
+            "hbm_gbps": round(byt / 1e9 / wall_s, 1),
+            "hbm_util_pct": round(100.0 * byt / 1e9 / wall_s / V5E_HBM_GBPS, 1),
+        }
+
+    def _timed(callable_, n=3):
+        out = callable_()                      # warmup/compile
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        ts = []
+        for _i in range(n):
+            t0 = time.perf_counter()
+            out = callable_()
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            ts.append(time.perf_counter() - t0)
+        return out, sorted(ts)[len(ts) // 2]
+
+    stages = None
+    if use_overlap and os.environ.get("BENCH_MFU", "1") == "1":
+        try:
+            stages = {"pipeline": _stage_stats(
+                pipeline_fn, (variables, consts, sig_dev, starts), dt)}
+            s1 = jax.jit(stage1_fn)
+            s2 = jax.jit(stage2_fn)
+            idx_all_np = (np.arange(n_clips, dtype=np.int32)[:, None, None]
+                          * t_total + frame_idx_np[None])
+            idx_dev = jnp.asarray(idx_all_np)
+            z_flat, dt1 = _timed(lambda: s1(variables, sig_dev))
+            _, dt2 = _timed(lambda: s2(variables, consts, z_flat, idx_dev))
+            stages["frontend_prefix"] = _stage_stats(
+                stage1_fn, (variables, sig_dev), dt1)
+            stages["suffix_decode_solve"] = _stage_stats(
+                stage2_fn, (variables, consts, z_flat, idx_dev), dt2)
+            z_flat = None
+        except Exception as e:  # never let accounting sink the headline
+            print(f"[bench] MFU accounting skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     headline = {
         "metric": "wav_to_vertices_throughput",
         "value": round(x_realtime, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_realtime / 100.0, 3),
+        # iteration spread (VERDICT r2 #8): the shared tunnel makes single
+        # numbers noisy — carry the variance story in the artifact itself
+        "x_realtime_min": round(audio_s / max(times), 2),
+        "x_realtime_median": round(x_realtime, 2),
+        "x_realtime_max": round(audio_s / min(times), 2),
+        "iters": len(times),
     }
+    if stages is not None:
+        headline["stages"] = stages
 
     # realism line (trained checkpoint + f64-oracle parity) prints BEFORE
     # the headline — the driver records the last JSON line

@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--source_root", type=str, default=None,
                         help="raw VOCASET download root (preprocess)")
     parser.add_argument("--face_type", type=str, default="dgrad_3d")
+    parser.add_argument("--pitch_variants", action="store_true",
+                        help="also generate the ±2/±4-semitone audio blob "
+                             "variants consumed by random_pitch_shift")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler device trace of a few "
                              "warm train steps into this dir")
@@ -124,6 +127,7 @@ def main():
             source_root=args.source_root,
             output_root=args.dataset_root,
             face_type=args.face_type,
+            pitch_variants=args.pitch_variants,
         )
 
 

@@ -341,6 +341,76 @@ def inv_mel_spectrogram(
 
 
 # ---------------------------------------------------------------------------
+# phase-vocoder time stretch + pitch shift (host-side numpy)
+#
+# The reference's source augmentation selects pitch-shifted blob variants
+# produced with librosa.effects.pitch_shift (±2/±4 semitones; generation
+# commented out upstream at preload.py:702-730 but the selection path at
+# sliding_window.py:140-147 consumes them). librosa is not in this image:
+# this is the same algorithm — phase-vocoder time stretch, then polyphase
+# resampling back to the original duration.
+# ---------------------------------------------------------------------------
+def phase_vocoder(spec: np.ndarray, rate: float, hop_size: int) -> np.ndarray:
+    """Stretch a complex STFT (freq, frames) by ``rate`` (librosa semantics:
+    rate > 1 speeds up / fewer frames). Magnitudes are linearly interpolated
+    between columns; phases advance by the accumulated instantaneous
+    frequency so sinusoid continuity is preserved."""
+    n_bins, n_frames = spec.shape
+    time_steps = np.arange(0, n_frames, rate)
+    phi_advance = np.linspace(0, np.pi * hop_size, n_bins)
+    padded = np.pad(spec, ((0, 0), (0, 2)))
+    out = np.zeros((n_bins, len(time_steps)), np.complex128)
+    phase_acc = np.angle(spec[:, 0])
+    for t, step in enumerate(time_steps):
+        i = int(step)
+        alpha = step - i
+        c0, c1 = padded[:, i], padded[:, i + 1]
+        mag = (1.0 - alpha) * np.abs(c0) + alpha * np.abs(c1)
+        out[:, t] = mag * np.exp(1j * phase_acc)
+        dphase = np.angle(c1) - np.angle(c0) - phi_advance
+        dphase -= 2.0 * np.pi * np.round(dphase / (2.0 * np.pi))
+        phase_acc = phase_acc + phi_advance + dphase
+    return out
+
+
+def time_stretch(signal: np.ndarray, rate: float, win_size: int = 1024,
+                 hop_size: int = 256, win_fn: str = "hann") -> np.ndarray:
+    """Stretch ``signal`` to duration len/rate at the same pitch."""
+    assert rate > 0
+    y = np.asarray(signal, np.float64)
+    window = get_window(win_fn, win_size).astype(np.float64)
+    padded = np.pad(y, (win_size // 2, win_size // 2), mode="reflect")
+    nf = num_frames(len(padded), win_size, hop_size)
+    idx = np.arange(nf)[:, None] * hop_size + np.arange(win_size)[None, :]
+    spec = np.fft.rfft(padded[idx] * window, axis=1).T  # (freq, frames)
+    out = _istft(phase_vocoder(spec, rate, hop_size), win_size, hop_size, win_fn)
+    n_out = int(round(len(y) / rate))
+    if len(out) < n_out:
+        out = np.pad(out, (0, n_out - len(out)))
+    return out[:n_out].astype(np.float32)
+
+
+def pitch_shift(signal: np.ndarray, sr: int, n_steps: float,
+                bins_per_octave: int = 12) -> np.ndarray:
+    """Shift pitch by ``n_steps`` semitones, duration preserved
+    (librosa.effects.pitch_shift algorithm: stretch by 2^(−n/12), then
+    resample the stretched signal back to the original length)."""
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    stretched = time_stretch(signal, rate)
+    frac = Fraction(rate).limit_denominator(1000)
+    out = resample_poly(stretched.astype(np.float64),
+                        frac.numerator, frac.denominator)
+    n = len(np.asarray(signal))
+    if len(out) < n:
+        out = np.pad(out, (0, n - len(out)))
+    return out[:n].astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # RMS energy (librosa.feature.rms(center=False) parity)
 # ---------------------------------------------------------------------------
 def rms_energy(signal: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:

@@ -117,8 +117,15 @@ class WindowSpec:
         f0 = (snapped + pad) // self.hop_size
         frame_idx = (f0[:, None] + np.arange(self.frames)[None, :]).astype(np.int32)
         need = int(frame_idx.max()) + 1
-        # right pad so the padded signal yields >= `need` frames
-        n_min = self.win_size + self.hop_size * (need - 1)
+        # right pad so the padded signal yields >= `need` + 4 frames: the
+        # +4 keeps every GATHERED frame interior to the 9-tap Savitzky-
+        # Golay delta kernel, so delta_matrix never applies its right-edge
+        # fits to a frame a window actually reads. Without the slack, a
+        # clip whose t_total lands exactly on the bucket boundary would
+        # give the last <=4 emitted frames edge-fit deltas offline while
+        # streaming (interior taps over the zero-extended mel) diverges
+        # beyond fp tolerance (ADVICE r2 #1).
+        n_min = self.win_size + self.hop_size * (need + 4 - 1)
         pad_right = max(pad, n_min - n_samples - pad)
         t_total = 1 + (n_samples + pad + pad_right - self.win_size) // self.hop_size
         if bucket and t_total % bucket:

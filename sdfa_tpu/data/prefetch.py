@@ -6,21 +6,48 @@ training stack, SURVEY.md §3.1).  This is the equivalent for our loader:
 worker processes run the dataset's __getitem__+collate ahead of the
 training step so host feature extraction overlaps device compute.
 
-Design: fork-based workers each own a dataset replica (datasets are
+Design: spawn-based workers each own a dataset replica (datasets are
 picklable: config + manifest rows; the npz audio cache re-fills per
 worker); an index queue fans out batch index lists, a result queue returns
 collated numpy batches. Order is not guaranteed (training shuffles anyway).
+
+Why forkserver, not fork: the training process runs JAX, which is
+multithreaded by the time the loader starts — fork() of a multithreaded
+process can deadlock a child on an allocator/runtime lock (Python itself
+warns), and a forked child that dies this way reports nothing. The
+forkserver's server process is started FRESH (no JAX, no threads) and
+workers fork from it, so neither the deadlock hazard nor spawn's
+re-import-of-__main__ requirement (the `if __name__ == "__main__"` guard)
+applies to the server. Worker *preparation* still imports the parent's
+``__main__`` (CPython runs ``spawn._main`` for forkserver workers too),
+so — exactly like torch's DataLoader — entry scripts must guard loader
+iteration with ``if __name__ == "__main__":``; the all-workers-died
+error names this remedy. Datasets defined interactively in ``__main__``
+can't be unpickled by a forkserver worker — those fall back to fork
+workers with a warning, as does ``SDFA_PREFETCH_MP=fork``. Worker exceptions travel back as a (traceback text, repr)
+payload so the main process can re-raise with the REAL failure site — a
+pickled exception alone loses its remote traceback.
 """
 
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 import queue as queue_mod
+import traceback
 from typing import Iterator, Optional
 
 import numpy as np
 
 from ..utils import log
+
+
+class _WorkerFailure:
+    """Picklable carrier for a worker-side exception + its traceback text."""
+
+    def __init__(self, exc: BaseException):
+        self.exc_repr = repr(exc)
+        self.tb_text = traceback.format_exc()
 
 
 def _worker(dataset, index_q, result_q, seed: int):
@@ -35,7 +62,7 @@ def _worker(dataset, index_q, result_q, seed: int):
             batch = dataset.collate([dataset[int(i)] for i in indices])
             result_q.put((batch_id, batch))
         except Exception as exc:  # surface worker errors to the main process
-            result_q.put((batch_id, exc))
+            result_q.put((batch_id, _WorkerFailure(exc)))
 
 
 class PrefetchLoader:
@@ -57,8 +84,21 @@ class PrefetchLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _mp_method(self) -> str:
+        """``forkserver`` unless overridden or the dataset itself lives in
+        ``__main__`` (then only fork can reach its class)."""
+        forced = os.environ.get("SDFA_PREFETCH_MP")
+        if forced:
+            return forced
+        if type(self.dataset).__module__ == "__main__":
+            log.warn("prefetch: dataset class is defined in __main__ and "
+                     "cannot be unpickled by a forkserver worker; falling "
+                     "back to fork workers")
+            return "fork"
+        return "forkserver"
+
     def __iter__(self) -> Iterator[dict]:
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(self._mp_method())
         index_q = ctx.Queue()
         result_q = ctx.Queue(maxsize=self.prefetch * self.num_workers)
         workers = [
@@ -93,20 +133,28 @@ class PrefetchLoader:
                 try:
                     bid, payload = result_q.get(timeout=5.0)
                 except queue_mod.Empty:
-                    # a forked worker can die without reporting (e.g. fork
-                    # while a parent thread held an allocator lock) — fail
-                    # loudly instead of blocking forever
+                    # a worker can die without reporting (OOM-kill, _exit)
+                    # — fail loudly instead of blocking forever
                     dead = [w.pid for w in workers if not w.is_alive()]
                     if len(dead) == len(workers):
                         raise RuntimeError(
                             f"all {len(workers)} prefetch workers died "
                             f"(pids {dead}) with {len(batches) - received} "
-                            f"batches outstanding"
+                            f"batches outstanding. If they died at startup, "
+                            f"the usual cause is an entry script without the "
+                            f"`if __name__ == '__main__':` guard that "
+                            f"spawn/forkserver workers require (see the "
+                            f"worker stderr above); SDFA_PREFETCH_MP=fork "
+                            f"restores fork workers."
                         )
                     continue
                 received += 1
-                if isinstance(payload, Exception):
-                    raise RuntimeError(f"prefetch worker failed on batch {bid}") from payload
+                if isinstance(payload, _WorkerFailure):
+                    raise RuntimeError(
+                        f"prefetch worker failed on batch {bid}: "
+                        f"{payload.exc_repr}\n--- worker traceback ---\n"
+                        f"{payload.tb_text}"
+                    )
                 yield payload
         finally:
             for w in workers:

@@ -191,6 +191,7 @@ def preload_voca(
     speakers: Optional[List[str]] = None,
     blend_ms: float = 150.0,
     min_test_sentence: int = 20,
+    pitch_variants: bool = False,
 ):
     speakers = speakers or list(vc.SPEAKER_ALIAS)
     non_face_verts, _ = vc.non_face_masks()
@@ -223,6 +224,7 @@ def preload_voca(
                 non_face_verts=non_face_verts,
                 sample_rate=sample_rate,
                 blend_ms=blend_ms,
+                pitch_variants=pitch_variants,
             )
             if row is not None:
                 rows.append(row)
@@ -261,7 +263,7 @@ def _interpolate(lower_p, upper_p, lower_v, upper_v, p):
 def _collect_sentence(
     spk: str, si: int, sent_dir: str, clean_prefix: str, out_dir: str,
     template: np.ndarray, non_face_verts: np.ndarray,
-    sample_rate: int, blend_ms: float,
+    sample_rate: int, blend_ms: float, pitch_variants: bool = False,
 ):
     """Reference _collect (preload.py:423-762): silence pad/trim with
     start_ts bookkeeping, speech-span anime window with blend-to-neutral
@@ -401,15 +403,24 @@ def _collect_sentence(
     # NOTE the reference resamples `signal` for audio_denoised_8k too
     # (preload.py:601 — an upstream bug); we store the actually-denoised 8k
     # so train-time source augmentation really has 4 distinct variants.
-    from ...audio.dsp import resample
+    from ...audio.dsp import pitch_shift, resample
 
-    np.savez(out_dir + "_audio.npz", sr=sr, start_ts=start_ts,
-             audio=signal.astype(np.float32),
-             audio_denoised=denoised.astype(np.float32),
-             audio_8k=(signal.astype(np.float32) if sr == 8000
-                       else resample(signal, sr, 8000)),
-             audio_denoised_8k=(denoised.astype(np.float32) if sr == 8000
-                                else resample(denoised, sr, 8000)))
+    signal_8k = (signal.astype(np.float32) if sr == 8000
+                 else resample(signal, sr, 8000))
+    blob = dict(sr=sr, start_ts=start_ts,
+                audio=signal.astype(np.float32),
+                audio_denoised=denoised.astype(np.float32),
+                audio_8k=signal_8k,
+                audio_denoised_8k=(denoised.astype(np.float32) if sr == 8000
+                                   else resample(denoised, sr, 8000)))
+    if pitch_variants:
+        # ±2/±4-semitone variants consumed by random_pitch_shift
+        # (reference sliding_window.py:140-147; blob generation is the
+        # commented-out preload.py:702-730 — here it is a live option)
+        for suffix, steps in (("u4", 4), ("u2", 2), ("d2", -2), ("d4", -4)):
+            blob[f"audio_ps_{suffix}"] = pitch_shift(blob["audio"], sr, steps)
+            blob[f"audio_8k_ps_{suffix}"] = pitch_shift(signal_8k, 8000, steps)
+    np.savez(out_dir + "_audio.npz", **blob)
 
     sent_txt = ""
     if os.path.exists(clean_prefix + ".txt"):
@@ -538,13 +549,15 @@ def _pca_fit_save(data: np.ndarray, variance: float, out_dir: str, prefix: str):
 
 # ---------------------------------------------------------------------------
 def run_pipeline(source_root: str, output_root: str, face_type: str = "dgrad_3d",
-                 sample_rate: int = 8000, target_db: float = -24.5):
+                 sample_rate: int = 8000, target_db: float = -24.5,
+                 pitch_variants: bool = False):
     """Full driver (reference dataset_preprocess.py:21-45)."""
     clean_root = os.path.join(output_root, "_clean")
     offsets_root = os.path.join(output_root, "offsets")
     # clean + preload share the pipeline sample rate (dataset_preprocess.py:22-36)
     clean_voca(source_root, clean_root, sample_rate=sample_rate, target_db=target_db)
-    preload_voca(source_root, clean_root, offsets_root, sample_rate=sample_rate)
+    preload_voca(source_root, clean_root, offsets_root, sample_rate=sample_rate,
+                 pitch_variants=pitch_variants)
     pca_offsets(offsets_root)
     if face_type == "dgrad_3d":
         dgrad_root = os.path.join(output_root, "dgrad")

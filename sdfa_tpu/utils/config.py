@@ -90,6 +90,12 @@ class ConfigDict(dict):
     def deepcopy(self) -> "ConfigDict":
         return copy.deepcopy(self)
 
+    def __reduce__(self):
+        # dict-subclass pickling replays items through the (blocked)
+        # __setitem__; reconstruct through __init__ instead so a ConfigDict
+        # survives the spawn boundary of data/prefetch.py workers
+        return (ConfigDict, (dict(self),))
+
     def __deepcopy__(self, memo):
         new = ConfigDict()
         for k, v in self.items():

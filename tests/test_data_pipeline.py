@@ -150,3 +150,65 @@ class TestCompactTargets:
         t32, _ = loss_fn(*args, batch32, rng, False)
         t16, _ = loss_fn(*args, batch16, rng, False)
         assert abs(float(t32) - float(t16)) < 2e-3 * max(1.0, abs(float(t32)))
+
+
+class TestPitchShiftAug:
+    """random_pitch_shift source augmentation (VERDICT r2 #9; reference
+    sliding_window.py:140-147 + the commented-out preload.py:702-730)."""
+
+    def test_pitch_shift_moves_fundamental(self):
+        from sdfa_tpu.audio import dsp
+
+        sr = 8000
+        t = np.arange(sr) / sr
+        y = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        for steps in (4, -2):
+            out = dsp.pitch_shift(y, sr, steps)
+            assert out.shape == y.shape
+            seg = out[sr // 4: sr // 4 + sr // 2]
+            freqs = np.fft.rfftfreq(len(seg), 1 / sr)
+            peak = freqs[np.abs(np.fft.rfft(seg * np.hanning(len(seg)))).argmax()]
+            want = 440 * 2 ** (steps / 12)
+            assert abs(peak - want) < 8, (steps, peak, want)
+
+    def _ps_hp(self, synth_root):
+        return configure("dgrad", dataset_root=synth_root,
+                         overrides=dict(audio=dict(feature=dict(
+                             random_pitch_shift=True))))
+
+    def test_missing_variants_raise_with_remedy(self, synth_root):
+        ds = DatasetSlidingWindow(self._ps_hp(synth_root), training=True)
+        with pytest.raises(KeyError, match="pitch_variants=True"):
+            ds[0]
+
+    def test_ps_sources_selected_and_consumed(self, synth_root, tmp_path):
+        from sdfa_tpu.audio import dsp
+
+        # graft ps variants onto the synthetic blobs (what
+        # preload_voca(pitch_variants=True) writes for real data)
+        import glob
+        for p in glob.glob(os.path.join(synth_root, "data", "*", "*", "*_audio.npz")):
+            blob = dict(np.load(p))
+            if "audio_ps_u4" in blob:
+                continue
+            for sfx, steps in (("u4", 4), ("u2", 2), ("d2", -2), ("d4", -4)):
+                blob[f"audio_ps_{sfx}"] = dsp.pitch_shift(
+                    blob["audio"], int(blob["sr"]), steps)
+                blob[f"audio_8k_ps_{sfx}"] = dsp.pitch_shift(
+                    blob["audio_8k"], 8000, steps)
+            np.savez(p, **blob)
+
+        ds = DatasetSlidingWindow(self._ps_hp(synth_root), training=True)
+        # the two ps families must show up in the selection distribution
+        blob = ds._load_audio_blob(ds.info_list[0]["npy_data_path:path"])
+        picked = set()
+        for _ in range(200):
+            sig, sr = ds._choose_source(blob, int(blob["sr"]))
+            assert sr in (8000, int(blob["sr"]))
+            picked.add(len(sig) if sig.flags["C_CONTIGUOUS"] else -1)
+        # items still build end-to-end with augmented sources
+        item = ds[0]
+        assert item["audio_feat_0"].shape == (64, 128, 3)
+        # raw mode too (require_sr filter keeps only config-sr sources)
+        raw = ds.raw_item(0)
+        assert raw["raw_wav_0"].ndim == 1

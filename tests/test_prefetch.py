@@ -47,6 +47,35 @@ class _SuicidalDataset:
         return items
 
 
+class _FailingDataset:
+    """__getitem__ raises — the original traceback must reach the caller."""
+    training = False
+    _rng = None
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        raise ValueError("synthetic failure inside __getitem__ marker-12345")
+
+    @staticmethod
+    def collate(items):
+        return items
+
+
+class TestWorkerFailure:
+    def test_worker_traceback_text_surfaces(self):
+        loader = PrefetchLoader(_FailingDataset(), batch_size=2, num_workers=1)
+        with pytest.raises(RuntimeError) as ei:
+            for _ in loader:
+                pass
+        msg = str(ei.value)
+        # the remote traceback — not just the exception repr — must be there
+        assert "marker-12345" in msg
+        assert "worker traceback" in msg
+        assert "__getitem__" in msg  # the real failure site
+
+
 class TestWorkerDeath:
     def test_dead_workers_raise_instead_of_hanging(self):
         import time

@@ -197,6 +197,23 @@ class TestPipeline:
         seen = {str(rng.choice(avail)) for _ in range(100)}
         assert seen == set(_SOURCE_KEYS)
 
+    def test_pitch_variant_blobs(self, fake_voca, tmp_path_factory):
+        """preload_voca(pitch_variants=True) writes the 8 ps keys the
+        random_pitch_shift selection path consumes (VERDICT r2 #9)."""
+        out_root = str(tmp_path_factory.mktemp("out_ps"))
+        preload.preload_voca(fake_voca, self.clean_root, out_root,
+                             sample_rate=8000, speakers=["m0"],
+                             pitch_variants=True)
+        rows = csvio.read_csv(os.path.join(out_root, "train.csv"))
+        blob = dict(np.load(str(rows[0]["npy_data_path:path"]) + "_audio.npz"))
+        for sfx in ("u4", "u2", "d2", "d4"):
+            for fam in ("audio_ps", "audio_8k_ps"):
+                key = f"{fam}_{sfx}"
+                assert key in blob, key
+                assert blob[key].shape == blob["audio_8k" if "8k" in fam else "audio"].shape
+                # a shifted variant is genuinely different audio
+                assert np.abs(blob[key] - blob["audio"][: len(blob[key])]).max() > 1e-4
+
     def test_dgrad_and_pca(self, fake_voca, tmp_path_factory):
         dgrad_root = str(tmp_path_factory.mktemp("dgrad"))
         preload.generate_dgrad(self.out_root, dgrad_root, voca_root=fake_voca)
