@@ -158,19 +158,28 @@ class FullyConnected(_Ext):
     weight_norm: bool = False
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
-        shape = x.shape
-        x = x.reshape(-1, shape[-1])
-        x = self.ext_prev(x, training)
+    def __call__(self, x, training: bool = False, return_params: bool = False):
+        # return_params: create kernel/bias (identical names — checkpoint-
+        # tree unchanged) and hand them to the caller instead of computing;
+        # used by fused kernels. Only valid without ext (act/bn) extras,
+        # whose parameters would not be created on this path.
+        if not return_params:
+            shape = x.shape
+            x = x.reshape(-1, shape[-1])
+            x = self.ext_prev(x, training)
         kernel = _weight_param(
             self, "kernel", (self.in_channels, self.out_channels),
             fan_in=self.in_channels, fan_out=self.out_channels,
             init_method=self.init_method, init_nonlinearity=self.init_nonlinearity,
             weight_norm=self.weight_norm, norm_axes=(0,),
         )
-        x = jnp.matmul(x, kernel, precision=_PREC)
+        b = None
         if self.bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        if return_params:
+            return kernel, b
+        x = jnp.matmul(x, kernel, precision=_PREC)
+        if b is not None:
             x = x + b
         x = self.ext_post(x, training)
         return x.reshape(shape[:-1] + (self.out_channels,))

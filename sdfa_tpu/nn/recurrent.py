@@ -30,6 +30,9 @@ import os as _os
 
 _USE_PALLAS = _os.environ.get("SDFA_PALLAS_LSTM", "0") == "1"
 
+# tests set this to run the fused FreqLstm kernel in interpret mode on CPU
+_FREQ_FUSED_INTERPRET = False
+
 
 def _run_lstm(x_proj, w_hh, bias_sum, hidden_size, reverse=False):
     if _USE_PALLAS and jax.default_backend() == "tpu":
@@ -161,15 +164,22 @@ class _RNNBase(nn.Module):
 
 
 class LSTM(_RNNBase):
-    """Multi-layer (bi)LSTM over time; input (B, T, C) → (B, T, H·dirs)."""
+    """Multi-layer (bi)LSTM over time; input (B, T, C) → (B, T, H·dirs).
+
+    ``return_params=True`` creates the parameters (same names, same
+    order — checkpoint-tree identical) and returns them WITHOUT running
+    the scans: ``{(layer, dir): (w_ih, w_hh, bias_sum)}``. Used by fused
+    kernels (ops/pallas_freq_lstm.py) that consume the weights directly.
+    """
 
     n_gates = 4
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, return_params: bool = False):
         assert self.batch_first, "only batch_first layout is used"
         out = x
         dirs = 2 if self.bidirectional else 1
+        params = {}
         for layer in range(self.num_layers):
             in_size = self.input_size if layer == 0 else self.hidden_size * dirs
             # NOTE: a fused both-directions-in-one-scan variant (batched
@@ -179,14 +189,19 @@ class LSTM(_RNNBase):
             outs = []
             for direction in range(dirs):
                 w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
-                x_proj = jnp.matmul(out, w_ih, precision=_PREC)
                 bias_sum = None if b is None else (b[0] + b[1])
+                if return_params:
+                    params[(layer, direction)] = (w_ih, w_hh, bias_sum)
+                    continue
+                x_proj = jnp.matmul(out, w_ih, precision=_PREC)
                 outs.append(_run_lstm(x_proj, w_hh, bias_sum, self.hidden_size,
                                       reverse=bool(direction)))
+            if return_params:
+                continue
             out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
             if layer < self.num_layers - 1:
                 out = self._layer_dropout(out, training)
-        return out
+        return params if return_params else out
 
 
 class GRU(_RNNBase):
@@ -230,6 +245,18 @@ class FreqLstm(nn.Module):
     bias: bool = True
     mode: str = "full"
 
+    def _use_fused(self, training: bool) -> bool:
+        """Fused-kernel eligibility: inference-only (pallas_call has no
+        autodiff rule here; training keeps the scan path), "full" mode,
+        TPU backend, opt-in via SDFA_PALLAS_FREQ_LSTM=1. Tests force the
+        interpreted kernel on CPU via _FREQ_FUSED_INTERPRET."""
+        if training or self.mode != "full":
+            return False
+        if _FREQ_FUSED_INTERPRET:
+            return True
+        return (_os.environ.get("SDFA_PALLAS_FREQ_LSTM", "0") == "1"
+                and jax.default_backend() == "tpu")
+
     @nn.compact
     def __call__(self, x, training: bool = False):
         from .layers import FullyConnected
@@ -253,16 +280,36 @@ class FreqLstm(nn.Module):
             bidirectional=True,
             name="lstm",
         )
-        h = lstm(x, training=training)  # (B·T, F, 2H)
-        if self.mode == "full":
-            proj_in = self.freq_length * 2 * self.hidden_size
-            h = h.reshape(bsz * t, proj_in)
-        else:  # "last": final states of both directions
-            h = jnp.concatenate([h[:, -1, : self.hidden_size], h[:, 0, self.hidden_size :]], axis=-1)
-            proj_in = 2 * self.hidden_size
+        proj_in = (self.freq_length * 2 * self.hidden_size
+                   if self.mode == "full" else 2 * self.hidden_size)
         proj = FullyConnected(in_channels=proj_in, out_channels=self.output_size,
                               bias=self.bias, name="proj")
-        out = proj(h, training=training).reshape(bsz, t, self.output_size)
+
+        if self._use_fused(training):
+            # fully-fused Pallas kernel: input proj + both freq scans +
+            # output proj in one program, F·2H concat never materialized
+            # (ops/pallas_freq_lstm.py; the profiled #1 target, DESIGN §9)
+            from ..ops.pallas_freq_lstm import freq_lstm_fused
+
+            lp = lstm(x, return_params=True)
+            w_ih = jnp.stack([lp[(0, 0)][0], lp[(0, 1)][0]])
+            w_hh = jnp.stack([lp[(0, 0)][1], lp[(0, 1)][1]])
+            gb = (None if lp[(0, 0)][2] is None
+                  else jnp.stack([lp[(0, 0)][2], lp[(0, 1)][2]]))
+            w_proj, b_proj = proj(None, return_params=True)
+            out = freq_lstm_fused(
+                x, w_ih, w_hh, gb, w_proj, b_proj,
+                interpret=_FREQ_FUSED_INTERPRET,
+            ).reshape(bsz, t, self.output_size)
+        else:
+            h = lstm(x, training=training)  # (B·T, F, 2H)
+            if self.mode == "full":
+                h = h.reshape(bsz * t, proj_in)
+            else:  # "last": final states of both directions
+                h = jnp.concatenate(
+                    [h[:, -1, : self.hidden_size], h[:, 0, self.hidden_size :]],
+                    axis=-1)
+            out = proj(h, training=training).reshape(bsz, t, self.output_size)
         out = jnp.transpose(out, (0, 2, 1))  # (B, C, T)
         return out[:, :, None, :] if dim4 else out
 
