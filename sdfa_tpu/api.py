@@ -21,6 +21,7 @@ from .data import DatasetSlidingWindow
 from .models import build_model
 from .task import AnimationTask
 from .tools import configure
+from .utils import log
 from .train import Experiment, Trainer, checkpoints as ckpt_io
 from .utils import ArgumentParser, log
 from .utils.filesystem import maybe_in_dirs
@@ -231,6 +232,21 @@ def load_task(ckpt_path: str, custom_hparams: Optional[str] = None,
             "(the default config would build a model unrelated to this "
             "checkpoint)")
     model = build_model(hp, load_pca=False)
+    if _is_torch_checkpoint(ckpt_path):
+        # a checkpoint written by the REFERENCE framework (torch pickle,
+        # saber/trainer/manager/checkpoints.py:50-64 schema, possibly with
+        # the legacy module names of the published pretrained models) —
+        # ingest through the compat layer
+        from .compat.torch_ckpt import convert_state_dict, load_torch_checkpoint
+
+        state, meta = load_torch_checkpoint(ckpt_path)
+        params, stats, constants = convert_state_dict(state)
+        if meta:
+            log.info(f"reference checkpoint: epoch {meta.get('epoch')} "
+                     f"step {meta.get('global_step')}")
+        variables = {"params": params, "batch_stats": stats,
+                     "constants": constants}
+        return AnimationTask(hp, model, variables, **task_kwargs)
     # read-only restore: no Experiment (which writes run-dir artifacts and
     # builds an optimizer), no template init — msgpack_restore rebuilds the
     # plain dict tree directly, so serving from a read-only mount works
@@ -242,6 +258,16 @@ def load_task(ckpt_path: str, custom_hparams: Optional[str] = None,
         "constants": payload.get("constants", {}),
     }
     return AnimationTask(hp, model, variables, **task_kwargs)
+
+
+def _is_torch_checkpoint(path: str) -> bool:
+    """Sniff a reference (torch pickle) checkpoint vs our msgpack format:
+    torch.save writes a zip ("PK") or a legacy pickle (protocol marker
+    0x80); msgpack maps start with 0x8x/0xde/0xdf."""
+    with open(path, "rb") as fp:
+        head = fp.read(2)
+    return head[:2] == b"PK" or (len(head) > 0 and head[0] == 0x80
+                                 and head[1] in (2, 3, 4, 5))
 
 
 def load_traced(dump_dir: str, **task_kwargs) -> AnimationTask:

@@ -24,6 +24,7 @@ below the 1e-4 budget vs the float64 host oracle (see tests).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -168,13 +169,26 @@ def solve_fn(
                   for j in range(3)] for i in range(3)]
         # X_d = Σ_c T[d][c] @ P_cᵀ, with P_c = P[:, c::3] (n_free, n_eqs)
         xs = []
-        for dd in range(3):
-            acc = None
-            for c in range(3):
-                p_c = consts.p[:, c::3]  # (n_free, n_eqs)
-                term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
-                acc = term if acc is None else acc + term
-            xs.append(acc)  # (..., n_free)
+        if os.environ.get("SDFA_SOLVE_CAT", "0") == "1":
+            # fused-row variant: one (…, 3·n_eqs)@(3·n_eqs, n_free) matmul
+            # per output row instead of 3 accumulated (…, n_eqs) matmuls —
+            # fewer/larger MXU ops and only one row's T planes live at a
+            # time (HBM high-water-mark lever, VERDICT r2 #6). The grouped
+            # operator re-gathers from P per call (150 MB, noise next to
+            # the matmuls); all layouts keep n_eqs on the lane axis.
+            p_gt = jnp.concatenate(
+                [consts.p[:, c::3] for c in range(3)], axis=1).T
+            for dd in range(3):
+                t_cat = jnp.concatenate([t[dd][c] for c in range(3)], axis=-1)
+                xs.append(jnp.matmul(t_cat, p_gt, precision=_PREC))
+        else:
+            for dd in range(3):
+                acc = None
+                for c in range(3):
+                    p_c = consts.p[:, c::3]  # (n_free, n_eqs)
+                    term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
+                    acc = term if acc is None else acc + term
+                xs.append(acc)  # (..., n_free)
         x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
         if spec.n_cnsts > 0:
             corr = jnp.matmul(consts.par, cnst_verts, precision=_PREC)  # (n_free, 3)

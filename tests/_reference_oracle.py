@@ -80,3 +80,44 @@ def load_reference_modules():
     attentions = _load("_ref_attentions",
                        "/root/reference/speech_anime/layers/attentions.py")
     return freq_lstm, attentions, saber
+
+
+def load_reference_full_model(pca_root: str):
+    """Build the reference's ACTUAL ``SaberSpeechDrivenAnimation`` with the
+    shipped dgrad config — the real torch model the published checkpoints
+    were trained with, not a twin.
+
+    The ``speech_anime`` package __init__ imports api+viewer, and the
+    viewer auto-builds the C++ deformation module inside the read-only
+    reference tree — so the package is registered WITHOUT executing its
+    __init__ (a module stub with the real ``__path__``), and the viewer
+    submodule is stubbed (configure-time ``set_template_mesh`` only).
+    Returns (torch_model.eval(), reference_hparams).
+    """
+    _install_stubs()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    if "speech_anime" not in sys.modules:
+        pkg = types.ModuleType("speech_anime")
+        pkg.__path__ = ["/root/reference/speech_anime"]
+        sys.modules["speech_anime"] = pkg
+        viewer = types.ModuleType("speech_anime.viewer")
+        viewer.set_template_mesh = lambda *a, **k: None
+        sys.modules["speech_anime.viewer"] = viewer
+
+    import saber
+
+    # mirror tools/config.py:15-125 without the viewer/seed side effects
+    hp = saber.ConfigDict("/root/reference/speech_anime/config/default.py")
+    hp.overwrite_by(
+        saber.ConfigDict("/root/reference/speech_anime/config/model/dgrad.py"))
+    hp.overwrite_by(
+        saber.ConfigDict("/root/reference/speech_anime/config/data/voca-dgrad.py"))
+    hp.dataset_anime.set_key("root", pca_root)
+    hp.replace_variable("{DATASET_ANIME_ROOT}", pca_root)
+
+    from speech_anime.model.model import SaberSpeechDrivenAnimation
+
+    model = SaberSpeechDrivenAnimation(hp, None, None, load_pca=True)
+    model.eval()
+    return model, hp
