@@ -398,14 +398,20 @@ def main():
             "hbm_util_pct": round(100.0 * byt / 1e9 / wall_s / V5E_HBM_GBPS, 1),
         }
 
+    def _sync(out):
+        # slice ON DEVICE first: np.asarray on the full leaf would pull
+        # the whole array over the tunnel (gigabytes for stage outputs)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return np.asarray(jnp.ravel(leaf)[:1])
+
     def _timed(callable_, n=3):
         out = callable_()                      # warmup/compile
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        _sync(out)
         ts = []
         for _i in range(n):
             t0 = time.perf_counter()
             out = callable_()
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+            _sync(out)
             ts.append(time.perf_counter() - t0)
         return out, sorted(ts)[len(ts) // 2]
 

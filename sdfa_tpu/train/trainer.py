@@ -293,6 +293,11 @@ class Experiment:
         # init model state
         rng = jax.random.PRNGKey(seed)
         self.rng, init_rng, drop_rng = jax.random.split(rng, 3)
+        # per-step dropout keys are FOLDED from this base by global step
+        # (not split sequentially): a run resumed from a checkpoint replays
+        # the identical rng stream, so resumed ≡ uninterrupted holds
+        # exactly (tests/test_experiment_resume.py::test_resume_equivalence)
+        self.rng_base = jax.random.fold_in(rng, 7)
         feat_shape = self._example_feat_shape()
         feat = jnp.zeros(feat_shape, jnp.float32)
         spk = jnp.zeros((feat_shape[0],), jnp.int32)
@@ -450,12 +455,15 @@ class Experiment:
         return mh.global_batch_from_local(self.mesh, batch)
 
     # -- lr --------------------------------------------------------------------
-    def current_lr(self) -> Tuple[float, float]:
+    def current_lr(self, step_hint: Optional[int] = None) -> Tuple[float, float]:
         # step mode: the reference increments global_step BEFORE stepping the
         # scheduler (manager/trainer.py), so the first optimization step
-        # evaluates the schedule at counter 1, not 0
+        # evaluates the schedule at counter 1, not 0. step_hint (the
+        # Trainer's host-side step mirror) avoids a per-step device sync —
+        # 35 ms/step on tunnel-attached hosts.
         it = (self.epoch if self.sched_mode == "epoch"
-              else int(jax.device_get(self.state.step)) + 1)
+              else (int(jax.device_get(self.state.step))
+                    if step_hint is None else int(step_hint)) + 1)
         lr = float(self.lr_fn(jnp.asarray(it)))
         b1 = float(self.beta1_fn(jnp.asarray(it))) if self.beta1_fn else 0.9
         return lr, b1
@@ -523,6 +531,10 @@ class Trainer:
     def train(self):
         exp = self.exp
         log.info(f"training on {exp.n_devices} device(s), mesh={exp.mesh}")
+        # host-side mirror of state.step (one device sync, then counted):
+        # the per-step rng folds on it, so a resumed run continues the
+        # exact stream without a per-step device round-trip
+        self._host_step = int(jax.device_get(exp.state.step))
         while exp.epoch < self.max_epochs:
             self._run_hooks("prev_epoch", epoch=exp.epoch)
             t0 = time.time()
@@ -612,23 +624,25 @@ class Trainer:
 
                 profiling.start_trace(self.profile_dir)
                 self._prof_active = True
-            lr, b1 = exp.current_lr()
-            exp.rng, step_rng = jax.random.split(exp.rng)
+            lr, b1 = exp.current_lr(self._host_step)
+            step_rng = jax.random.fold_in(exp.rng_base, self._host_step)
             batch = exp.put_batch(batch)
             exp.state, metrics = exp.train_step_fn(
                 exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
             )
+            self._host_step += 1
             device_metrics.append(metrics)
-            for name in self.aux_loaders:
+            for ai, name in enumerate(self.aux_loaders):
                 aux_batch = self._next_aux(name)
                 if aux_batch is None:
                     continue
-                lr, b1 = exp.current_lr()
-                exp.rng, aux_rng = jax.random.split(exp.rng)
+                lr, b1 = exp.current_lr(self._host_step)
+                aux_rng = jax.random.fold_in(step_rng, 1_000_003 + ai)
                 aux_batch = exp.put_batch(aux_batch)
                 exp.state, _ = exp.train_step_fn(
                     exp.state, aux_batch, aux_rng, jnp.asarray(lr), jnp.asarray(b1)
                 )
+                self._host_step += 1
             count += 1
             self._steps_seen += 1
             if self.save_gap_steps and self._steps_seen % self.save_gap_steps == 0:

@@ -126,3 +126,93 @@ class TestStreaming:
         assert caps["sig"] < 3 * sess.spec.sliding, caps
         assert caps["mel"] < 600, caps
         assert caps["z"] < 600, caps
+
+
+class TestServer:
+    """StreamingServer: N concurrent streams, one batched pipeline."""
+
+    def test_concurrent_streams_match_offline(self, shipped_task):
+        from sdfa_tpu.streaming import StreamingServer
+
+        hp, task = shipped_task
+        clips = [_sig(hp, seconds=s, seed=k)
+                 for k, s in ((11, 1.4), (12, 1.9), (13, 1.1))]
+        offline = [task.generate_vertices(c, spk)
+                   for spk, c in enumerate(clips)]
+
+        srv = StreamingServer(task, capacity=4, emit_batch=8)
+        sids = [srv.open(spk) for spk in range(len(clips))]
+        got = {sid: [] for sid in sids}
+        pos = [0] * len(clips)
+        rng = np.random.default_rng(0)
+        # interleave pushes in random chunk sizes; tick as audio arrives
+        while any(p < len(c) for p, c in zip(pos, clips)):
+            for k, sid in enumerate(sids):
+                if pos[k] < len(clips[k]):
+                    n = int(rng.integers(500, 2500))
+                    srv.push(sid, clips[k][pos[k] : pos[k] + n])
+                    pos[k] += n
+            for sid, frames in srv.tick().items():
+                got[sid].extend(frames)
+        live_counts = {sid: len(got[sid]) for sid in sids}
+        for sid in sids:
+            srv.flush(sid)
+        while not all(srv.is_done(sid) for sid in sids):
+            for sid, frames in srv.tick().items():
+                got[sid].extend(frames)
+
+        for k, sid in enumerate(sids):
+            ts_ref, verts_ref = offline[k]
+            assert [ts for ts, _ in got[sid]] == list(ts_ref), f"stream {k}"
+            verts = np.stack([v for _, v in got[sid]])
+            np.testing.assert_allclose(verts, verts_ref, atol=5e-5,
+                                       err_msg=f"stream {k}")
+            # frames flowed while the stream was live, not only at flush
+            assert live_counts[sid] > 0.4 * len(got[sid]), (k, live_counts)
+
+    def test_matches_dedicated_session(self, shipped_task):
+        """A multiplexed stream emits bit-comparable frames to a dedicated
+        StreamingSession on the same audio (same kernels, same order)."""
+        from sdfa_tpu.streaming import StreamingServer
+
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=1.3, seed=21)
+
+        sess = task.stream(1, emit_batch=8)
+        ref = sess.push(sig)
+        ref.extend(sess.flush())
+
+        srv = StreamingServer(task, capacity=2, emit_batch=8)
+        sid = srv.open(1)
+        srv.push(sid, sig)
+        got = []
+        for s2, frames in srv.tick().items():
+            got.extend(frames)
+        srv.flush(sid)
+        while not srv.is_done(sid):
+            for s2, frames in srv.tick().items():
+                got.extend(frames)
+        assert [t for t, _ in got] == [t for t, _ in ref]
+        np.testing.assert_allclose(np.stack([v for _, v in got]),
+                                   np.stack([v for _, v in ref]), atol=2e-5)
+
+    def test_capacity_and_slot_reuse(self, shipped_task):
+        from sdfa_tpu.streaming import StreamingServer
+
+        hp, task = shipped_task
+        srv = StreamingServer(task, capacity=2, emit_batch=4)
+        a = srv.open(0)
+        b = srv.open(1)
+        with pytest.raises(RuntimeError, match="server full"):
+            srv.open(0)
+        # an empty stream still emits the reference geometry's silence
+        # windows (n_windows(0) > 0 — zero-padding semantics)
+        srv.flush(a)
+        n_silence = 0
+        while not srv.is_done(a):
+            n_silence += len(srv.tick().get(a, []))
+        assert n_silence == srv.spec.n_windows(0) > 0
+        srv.close(a)
+        c = srv.open(2)        # slot reused
+        assert c == a
+        assert sorted(srv.live()) == sorted([b, c])
