@@ -30,8 +30,25 @@ import os as _os
 
 _USE_PALLAS = _os.environ.get("SDFA_PALLAS_LSTM", "0") == "1"
 
-# tests set this to run the fused FreqLstm kernel in interpret mode on CPU
+# tests set this to run the fused Pallas kernels in interpret mode on CPU
 _FREQ_FUSED_INTERPRET = False
+
+
+def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
+    """Shared gating for the fused inference kernels: no autodiff rule →
+    training keeps the scan path; under GSPMD sharding a pallas_call is
+    an opaque custom call the partitioner cannot split → default to
+    single-chip TPU only ("auto"); env=1 forces on-TPU, env=0 disables."""
+    if training:
+        return False
+    if _FREQ_FUSED_INTERPRET:
+        return True
+    flag = _os.environ.get(env_name, "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 def _run_lstm(x_proj, w_hh, bias_sum, hidden_size, reverse=False):
@@ -185,20 +202,40 @@ class LSTM(_RNNBase):
             # NOTE: a fused both-directions-in-one-scan variant (batched
             # d=2 einsum per step) measured 25-40% SLOWER on v5e — the tiny
             # batched matmul lowers off the MXU fast path. Keep separate
-            # direction scans with one shared input projection.
+            # direction scans with one shared input projection — or, at
+            # inference on single-chip TPU, the fused Pallas layer kernel
+            # (both directions in one VMEM-resident program,
+            # ops/pallas_bilstm.py; in_size must be lane-aligned).
+            fused = (dirs == 2 and not return_params and in_size % 128 == 0
+                     and _pallas_inference_eligible(training,
+                                                    "SDFA_PALLAS_BILSTM"))
             outs = []
+            dir_params = []
             for direction in range(dirs):
                 w_ih, w_hh, b = self._gate_params(layer, direction, in_size)
                 bias_sum = None if b is None else (b[0] + b[1])
                 if return_params:
                     params[(layer, direction)] = (w_ih, w_hh, bias_sum)
                     continue
+                if fused:
+                    dir_params.append((w_ih, w_hh, bias_sum))
+                    continue
                 x_proj = jnp.matmul(out, w_ih, precision=_PREC)
                 outs.append(_run_lstm(x_proj, w_hh, bias_sum, self.hidden_size,
                                       reverse=bool(direction)))
             if return_params:
                 continue
-            out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
+            if fused:
+                from ..ops.pallas_bilstm import bilstm_layer_fused
+
+                w_ih2 = jnp.stack([dir_params[0][0], dir_params[1][0]])
+                w_hh2 = jnp.stack([dir_params[0][1], dir_params[1][1]])
+                gb2 = (None if dir_params[0][2] is None
+                       else jnp.stack([dir_params[0][2], dir_params[1][2]]))
+                out = bilstm_layer_fused(out, w_ih2, w_hh2, gb2,
+                                         interpret=_FREQ_FUSED_INTERPRET)
+            else:
+                out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
             if layer < self.num_layers - 1:
                 out = self._layer_dropout(out, training)
         return params if return_params else out
@@ -246,27 +283,14 @@ class FreqLstm(nn.Module):
     mode: str = "full"
 
     def _use_fused(self, training: bool) -> bool:
-        """Fused-kernel eligibility: inference-only (pallas_call has no
-        autodiff rule here; training keeps the scan path), "full" mode,
-        TPU backend. Default ON after hardware qualification (v5e: 1.6×
+        """Fused-kernel eligibility ("full" mode only). Default ON for
+        single-chip TPU inference after hardware qualification (v5e: 1.6×
         at 6400 rows, 3.6× at the 13184-row serving batch vs the scan
         path, parity 1.2e-5 — DESIGN.md §9); SDFA_PALLAS_FREQ_LSTM=0
-        opts out. Tests force the interpreted kernel on CPU via
-        _FREQ_FUSED_INTERPRET."""
-        if training or self.mode != "full":
-            return False
-        if _FREQ_FUSED_INTERPRET:
-            return True
-        flag = _os.environ.get("SDFA_PALLAS_FREQ_LSTM", "auto")
-        if flag == "0":
-            return False
-        if flag == "1":
-            return jax.default_backend() == "tpu"
-        # auto: single-chip TPU only — under GSPMD a pallas_call is an
-        # opaque custom call the partitioner cannot split, so a sharded
-        # multi-chip serving jit must keep the scan path (a shard_map
-        # wrapper could lift this; force with SDFA_PALLAS_FREQ_LSTM=1)
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        opts out."""
+        return (self.mode == "full"
+                and _pallas_inference_eligible(training,
+                                               "SDFA_PALLAS_FREQ_LSTM"))
 
     @nn.compact
     def __call__(self, x, training: bool = False):

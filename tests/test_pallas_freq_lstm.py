@@ -105,3 +105,54 @@ class TestModuleIntegration:
             recurrent._FREQ_FUSED_INTERPRET = False
         gnorm = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestBilstmKernel:
+    """Fused bidirectional time-LSTM layer (ops/pallas_bilstm.py)."""
+
+    def test_kernel_matches_reference(self, rng):
+        from sdfa_tpu.ops.pallas_bilstm import (bilstm_layer_fused,
+                                                bilstm_layer_reference)
+
+        rows, T, IN, H = 200, 16, 256, 256
+        x = _rand(rng, (rows, T, IN), 1.0)
+        w_ih = _rand(rng, (2, IN, 4 * H), 0.05)
+        w_hh = _rand(rng, (2, H, 4 * H), 0.05)
+        gb = _rand(rng, (2, 4 * H), 0.05)
+        ref = bilstm_layer_reference(x, w_ih, w_hh, gb)
+        out = bilstm_layer_fused(x, w_ih, w_hh, gb, block_rows=128,
+                                 interpret=True)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
+    def test_lstm_module_fused_equals_scan(self, rng):
+        """2-layer biLSTM module: fused layers ≡ scan path, same params."""
+        mod = recurrent.LSTM(input_size=256, hidden_size=256, num_layers=2,
+                             bias=False, bidirectional=True)
+        x = _rand(rng, (6, 12, 256), 1.0)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        ref = mod.apply(variables, x)
+        recurrent._FREQ_FUSED_INTERPRET = True
+        try:
+            v2 = mod.init(jax.random.PRNGKey(0), x)
+            assert (jax.tree_util.tree_structure(variables)
+                    == jax.tree_util.tree_structure(v2))
+            out = mod.apply(variables, x)
+        finally:
+            recurrent._FREQ_FUSED_INTERPRET = False
+        assert float(jnp.abs(out - ref).max()) < 5e-5
+
+    def test_unaligned_input_keeps_scan(self, rng):
+        """in_size not lane-aligned (e.g. the freq-LSTM's 64) must not
+        take the fused layer path — identical output either way."""
+        mod = recurrent.LSTM(input_size=64, hidden_size=128, num_layers=1,
+                             bias=True, bidirectional=True)
+        x = _rand(rng, (4, 8, 64), 1.0)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        ref = mod.apply(variables, x)
+        recurrent._FREQ_FUSED_INTERPRET = True
+        try:
+            out = mod.apply(variables, x)
+        finally:
+            recurrent._FREQ_FUSED_INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
