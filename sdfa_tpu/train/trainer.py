@@ -524,6 +524,33 @@ class Trainer:
         self._steps_seen = 0
         self._prof_active = False
 
+    @staticmethod
+    def _load_loss_history(exp):
+        """Prior epochs' loss rows from the run dir (rows at or past the
+        resumed epoch are dropped — they will be re-trained)."""
+        path = os.path.join(exp.log_dir, "train_log", "loss", "epoch-loss.csv")
+        if not os.path.exists(path):
+            return []
+        rows = []
+        with open(path, newline="") as fp:
+            for row in csv.DictReader(fp):
+                try:
+                    epoch = int(row["epoch"])
+                except (KeyError, ValueError):
+                    continue
+                if epoch >= exp.epoch:
+                    continue
+                parsed = {"epoch": epoch}
+                for k, v in row.items():
+                    if k == "epoch" or v in ("", None):
+                        continue
+                    try:
+                        parsed[k] = float(v)
+                    except ValueError:
+                        parsed[k] = v
+                rows.append(parsed)
+        return rows
+
     def _run_hooks(self, point: str, **kwargs):
         for fn in self._hooks[point]:
             fn(self.exp, **kwargs)
@@ -554,7 +581,10 @@ class Trainer:
                     self.best_metric = metric
                     exp.save_best(self.metric_name, metric)
             if not hasattr(self, "_history"):
-                self._history = []
+                # resume: seed from the run dir's existing CSV so a
+                # killed-and-resumed run keeps its full loss history
+                # (write_loss_csv rewrites the file each epoch)
+                self._history = self._load_loss_history(exp)
             self._history.append(epoch_row)
             exp.write_loss_csv(self._history)
             exp.epoch += 1

@@ -244,3 +244,36 @@ class TestResumeEquivalence:
             np.testing.assert_array_equal(
                 np.asarray(jax.device_get(exp_a.state.scalers[name].vt)),
                 np.asarray(jax.device_get(exp_c.state.scalers[name].vt)))
+
+
+class TestLossHistoryAcrossResume:
+    def test_csv_keeps_pre_kill_epochs(self, tmp_path):
+        """epoch-loss.csv is rewritten from in-memory history each epoch;
+        a resumed run must seed that history from the file so the
+        pre-kill epochs survive (long-run artifact integrity)."""
+        import csv as csv_mod
+
+        from test_model_and_losses import _tiny_model
+
+        hp = _tiny_hp()
+        hp.trainer.set_key("max_epochs", 2)
+        run = str(tmp_path / "run")
+        exp = Experiment(hp, _tiny_model(), log_dir=run, training=True)
+        Trainer(exp, train_loader=[_batch() for _ in range(2)]).train()
+        path = os.path.join(run, "train_log", "loss", "epoch-loss.csv")
+        with open(path) as fp:
+            rows_before = list(csv_mod.DictReader(fp))
+        assert [r["epoch"] for r in rows_before] == ["0", "1"]
+
+        hp2 = _tiny_hp()
+        hp2.trainer.set_key("max_epochs", 3)
+        exp2 = Experiment(hp2, _tiny_model(), log_dir=run, training=True,
+                          load_from=os.path.join(run, "last.ckpt"))
+        Trainer(exp2, train_loader=[_batch() for _ in range(2)]).train()
+        with open(path) as fp:
+            rows = list(csv_mod.DictReader(fp))
+        assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+        # pre-kill values preserved (same loss column, same value)
+        loss_key = next(k for k in rows_before[0] if k.startswith("train_"))
+        assert float(rows[0][loss_key]) == pytest.approx(
+            float(rows_before[0][loss_key]))
