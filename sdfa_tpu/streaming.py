@@ -113,7 +113,8 @@ class StreamingSession:
 
         # task-level cached jits (one compile per task + block size, not
         # per session — live services create a session per utterance)
-        self._fused_first, self._fused_steady = task._get_stream_fns(self.BLOCK)
+        self._fused_first, self._fused_steady, _ = task._get_stream_fns(
+            self.BLOCK)
         self._verts_fn, self._consts = task._get_verts_fn()
 
         # z-slice length for one emit batch: 64 window frames + the hop
@@ -316,18 +317,13 @@ class StreamingServer:
         s = self.spec = task._wspec()
         self._pad = s.sliding
         self._slice_len = _emit_slice_len(s, self.emit_batch)
-        self._fused_first, fused_steady = task._get_stream_fns(self.BLOCK)
+        # batched steady-block call built by the task: the mel frontend
+        # vmaps per stream, but the encoder prefix runs on the FLATTENED
+        # (N·B)-frame batch — a vmapped pallas_call cannot lower, and the
+        # flat batch is faster anyway (the freq scan steps with N·B rows)
+        self._fused_first, _, self._batched_steady = task._get_stream_fns(
+            self.BLOCK)
         self._verts_fn, self._consts = task._get_verts_fn()
-
-        # batched steady-block call: vmap over the pool; masked slots keep
-        # their carry (their zero blocks' outputs are discarded host-side)
-        def batched(variables, blocks, carries, mask):
-            tails, z = jax.vmap(fused_steady, in_axes=(None, 0, 0))(
-                variables, blocks, carries)
-            new_carry = jnp.where(mask[:, None, None], tails, carries)
-            return new_carry, z
-
-        self._batched_steady = jax.jit(batched)
 
         n_mels = s.n_mels
         self._carries = jnp.zeros((self.N, 8, n_mels), jnp.float32)

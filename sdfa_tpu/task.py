@@ -447,8 +447,44 @@ class AnimationTask:
 
                 return jax.jit(fused)
 
+            def make_batched_steady():
+                """Pool variant for StreamingServer: N streams' blocks in
+                one call. The mel frontend + band Δ/Δ² vmap per stream
+                (pure matmuls), then the per-frame encoder prefix runs on
+                the FLATTENED (N·B)-frame batch — not under vmap, so the
+                fused Pallas FreqLstm lowers (a vmapped pallas_call with
+                ANY-space operands cannot), and the freq scan steps with
+                N·B rows instead of per-stream slivers. Masked slots keep
+                their mel-tail carry."""
+                K1, K2, center0, n_out = band_ops(False)
+                K1j, K2j = jnp.asarray(K1), jnp.asarray(K2)
+
+                def mel_part(pre, carry):
+                    from .audio.pipeline import mel_from_frames
+
+                    frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+                    mel = mel_from_frames(frames, s)
+                    ctx = jnp.concatenate([carry, mel])  # (B+8, M)
+                    d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
+                    d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
+                    center = ctx[center0 : center0 + n_out]
+                    return ctx[-8:], jnp.stack([center, d1, d2], axis=-1)
+
+                def batched(variables, blocks, carries, mask):
+                    tails, feats = jax.vmap(mel_part)(blocks, carries)
+                    flat = feats.reshape((-1,) + feats.shape[2:])
+                    z = model.apply(
+                        variables, flat,
+                        method=SpeechDrivenAnimation.encode_frames)
+                    z = z.reshape((blocks.shape[0], n_out) + z.shape[1:])
+                    new_carries = jnp.where(mask[:, None, None], tails, carries)
+                    return new_carries, z
+
+                return jax.jit(batched)
+
             self._stream_jits[block_frames] = (make_fused(True),
-                                               make_fused(False))
+                                               make_fused(False),
+                                               make_batched_steady())
         return self._stream_jits[block_frames]
 
     def stream(self, speaker, emit_batch: int = 16, block_frames: int = 16):
