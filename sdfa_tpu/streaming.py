@@ -254,8 +254,11 @@ class StreamingSession:
 
 
 class _ServerSlot:
-    """Host-side state of one multiplexed stream (mirrors StreamingSession
-    bookkeeping; every device call happens batched in the server)."""
+    """Host-side state of one multiplexed stream: counters only — the
+    encoded frames live in the server's device ring, the host never sees
+    them. ``inflight`` counts dispatched-but-uncollected frames (pipelined
+    ticks); a stream is done when flushed + every window dispatched +
+    nothing in flight."""
 
     def __init__(self, speaker: int, pad: int):
         self.speaker = int(speaker)
@@ -263,12 +266,11 @@ class _ServerSlot:
         self.sig_off = 0
         self.n_real = 0
         self.t_mel = 0
-        self.zbuf: Optional[np.ndarray] = None
-        self.z_off = 0
         self.z_done = 0
         self.w_done = 0
+        self.inflight = 0
         self.flushing = False
-        self.done = False
+
 
 
 class StreamingServer:
@@ -276,22 +278,38 @@ class StreamingServer:
 
     A real service runs many concurrent utterances per chip;
     ``StreamingSession`` serves exactly one (VERDICT r2 weak #3). The
-    server multiplexes up to ``capacity`` streams into
+    server multiplexes up to ``capacity`` streams into two device calls
+    per tick, engineered for hosts where the host↔device link — not
+    compute — is the ceiling (measured on the axon tunnel: ~30 MB/s
+    effective download vs ~70 ms device compute per 32-stream tick;
+    DESIGN.md §12.3):
 
-    - one *batched* fused block call per tick round (mel + band Δ/Δ² +
-      encoder prefix, vmapped over the pool with a mask — slots without
-      a complete block keep their mel-tail carry), and
-    - one suffix→decode→solve call per tick covering every ready window
-      across the pool: each slot's bounded z-slice is a row of a flat
-      (capacity·slice_len) frame table, and the window offsets address
-      it exactly like the §12 multi-clip serving table — zero model
-      changes.
+    - **device-resident z ring**: the encoder-prefix output lives in a
+      flat ``(capacity·ring_frames, …)`` device ring. One *batched*
+      fused block call per tick round (mel + band Δ/Δ² + encoder prefix,
+      mel frontend vmapped per stream, prefix on the flattened pool
+      batch) scatters each slot's new frames at ``slot·R + (frame mod
+      R)`` — z never crosses to the host in either direction.
+    - **one suffix→decode→solve call per tick** covering every ready
+      window across the pool: window rows gather straight from the ring
+      (``forward_windows``'s frame-table gather — wrapped indices are
+      just indices), exactly like the §12 multi-clip serving table.
+    - **int16 wire (default)**: vertices quantize ON DEVICE to
+      ``task.WIRE_LSB`` (1e-5 m/LSB, ≤5e-6 m error) before download —
+      half the bytes of f32 on the link that caps capacity.
+    - **pipelined ticks (opt-in)**: ``pipeline=True`` makes ``tick()``
+      dispatch this round's calls and return the *previous* round's
+      frames, overlapping the dominant download with the next round's
+      device compute (JAX async dispatch; the in-flight gather holds its
+      own immutable ring snapshot, so later block writes cannot race it).
+      Adds one tick of latency; capacity becomes max(transfer, compute)
+      instead of their sum.
 
-    A slot's FIRST block runs through the single-stream first-block jit
-    (the edge-fit Δ variant, once per utterance); every later block
-    rides the batched call. Per-slot emission order, timestamps and
-    values are identical to a dedicated StreamingSession / the offline
-    ``generate_vertices`` (tests/test_streaming.py::TestServer).
+    A slot's FIRST block runs through a per-utterance edge-fit Δ variant
+    (``first_ring``); every later block rides the batched call. Per-slot
+    emission order, timestamps and values match a dedicated
+    StreamingSession / offline ``generate_vertices`` to the wire
+    quantization step (tests/test_streaming.py::TestServer).
 
     Usage::
 
@@ -305,7 +323,10 @@ class StreamingServer:
     """
 
     def __init__(self, task, capacity: int = 8, emit_batch: int = 16,
-                 block_frames: int = 16):
+                 block_frames: int = 16, wire: str = "i16",
+                 pipeline: bool = False, ring_frames: Optional[int] = None):
+        from .task import WIRE_LSB
+
         assert task.overlap_frontend, (
             "streaming rides the overlap fast path — construct the task "
             "with device_frontend=True")
@@ -314,19 +335,38 @@ class StreamingServer:
         self.emit_batch = int(emit_batch)
         self.BLOCK = int(block_frames)
         assert self.BLOCK >= 9
+        assert wire in ("f32", "i16"), wire
+        self._wire = wire
+        self._lsb = np.float32(WIRE_LSB)
+        self.pipeline = bool(pipeline)
+        self._inflight_call = None  # (plan, device handle) when pipelined
         s = self.spec = task._wspec()
         self._pad = s.sliding
-        self._slice_len = _emit_slice_len(s, self.emit_batch)
-        # batched steady-block call built by the task: the mel frontend
-        # vmaps per stream, but the encoder prefix runs on the FLATTENED
-        # (N·B)-frame batch — a vmapped pallas_call cannot lower, and the
-        # flat batch is faster anyway (the freq scan steps with N·B rows)
-        self._fused_first, _, self._batched_steady = task._get_stream_fns(
-            self.BLOCK)
-        self._verts_fn, self._consts = task._get_verts_fn()
 
-        n_mels = s.n_mels
-        self._carries = jnp.zeros((self.N, 8, n_mels), jnp.float32)
+        # ring length: the emit-batch gather span + two blocks of slack,
+        # rounded to a power of two (cheap mod). Ingestion is bounded so
+        # frames a not-yet-dispatched window still needs are never
+        # overwritten; in-flight gathers are safe unconditionally (they
+        # hold their own ring snapshot — functional arrays).
+        need = _emit_slice_len(s, self.emit_batch) + 2 * self.BLOCK + 8
+        self.R = int(ring_frames) if ring_frames else 1 << (need - 1).bit_length()
+        assert self.R >= need or ring_frames, (self.R, need)
+
+        self._first_ring, self._batched_ring = task._get_ring_fns(
+            self.BLOCK, self.R, self.N)
+        self._verts_fn, self._consts = task._get_verts_fn(wire=wire)
+
+        # ring dtype/feature shape via shape-only evaluation of the
+        # single-stream block fn (no compile, no device work)
+        fused_first, _, _ = task._get_stream_fns(self.BLOCK)
+        _, z_aval = jax.eval_shape(
+            fused_first, task.variables,
+            jax.ShapeDtypeStruct((_block_samples(s, self.BLOCK),),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((8, s.n_mels), jnp.float32))
+        self._ring = jnp.zeros((self.N * self.R,) + z_aval.shape[1:],
+                               z_aval.dtype)
+        self._carries = jnp.zeros((self.N, 8, s.n_mels), jnp.float32)
         self._slots: List[Optional[_ServerSlot]] = [None] * self.N
 
     # -- lifecycle ---------------------------------------------------------
@@ -335,8 +375,9 @@ class StreamingServer:
             speaker = dict(self.task.hp.dataset_anime.speakers)[speaker]
         for sid in range(self.N):
             if self._slots[sid] is None:
+                # no device-state reset needed: the first block writes the
+                # mel carry and its ring rows before anything reads them
                 self._slots[sid] = _ServerSlot(speaker, self._pad)
-                self._carries = self._carries.at[sid].set(0.0)
                 return sid
         raise RuntimeError(f"server full ({self.N} live streams)")
 
@@ -356,7 +397,6 @@ class StreamingServer:
         s = self.spec
         n_w = s.n_windows(slot.n_real)
         if n_w == 0:
-            slot.done = True
             return
         last_f0, _ = self._window_geom(n_w - 1)
         need_frames = last_f0 + s.frames
@@ -372,7 +412,9 @@ class StreamingServer:
                 [slot.sig, np.zeros(need_samples - cur, np.float32)])
 
     def is_done(self, sid: int) -> bool:
-        return self._slot(sid).done
+        slot = self._slot(sid)
+        return (slot.flushing and slot.inflight == 0
+                and slot.w_done >= self.spec.n_windows(slot.n_real))
 
     def close(self, sid: int) -> None:
         self._slots[sid] = None
@@ -394,17 +436,22 @@ class StreamingServer:
 
     # -- pipeline ----------------------------------------------------------
     def _advance_blocks(self):
-        s, B = self.spec, self.BLOCK
+        s, B, R = self.spec, self.BLOCK, self.R
         blk_n = _block_samples(s, B)
 
         def pending(slot):
-            return (slot.sig_off + len(slot.sig)
-                    >= slot.t_mel * s.hop_size + blk_n)
+            if slot.flushing and slot.w_done >= s.n_windows(slot.n_real):
+                return False  # every window dispatched: stop ingesting
+            if slot.sig_off + len(slot.sig) < slot.t_mel * s.hop_size + blk_n:
+                return False
+            # ring bound: the new rows [z_done, z_done+n_out) must not lap
+            # frames the next un-dispatched window still gathers
+            n_out = (B - 4) if slot.t_mel == 0 else B
+            keep_f0 = self._window_geom(slot.w_done)[0]
+            return slot.z_done + n_out - keep_f0 <= R
 
-        def append_z(slot, z):
-            slot.zbuf = z if slot.zbuf is None else np.concatenate(
-                [slot.zbuf, z])
-            slot.z_done += len(z)
+        def consume(slot, n_out):
+            slot.z_done += n_out
             slot.t_mel += B
             cut = max(0, slot.t_mel * s.hop_size - 1 - slot.sig_off)
             if cut:
@@ -414,29 +461,29 @@ class StreamingServer:
         while True:
             live = [(i, sl) for i, sl in enumerate(self._slots)
                     if sl is not None and pending(sl)]
-            firsts = [(i, sl) for i, sl in live if sl.t_mel == 0]
-            steadies = [(i, sl) for i, sl in live if sl.t_mel > 0]
             if not live:
                 break
+            firsts = [(i, sl) for i, sl in live if sl.t_mel == 0]
+            steadies = [(i, sl) for i, sl in live if sl.t_mel > 0]
             for i, sl in firsts:  # once per utterance: edge-fit Δ variant
                 block = _take_block(sl.sig, sl.sig_off, 0, s, B)
-                tail, z = self._fused_first(
-                    self.task.variables, jnp.asarray(block),
-                    jnp.zeros((8, s.n_mels), jnp.float32))
-                self._carries = self._carries.at[i].set(tail)
-                append_z(sl, np.asarray(z))
+                self._carries, self._ring = self._first_ring(
+                    self.task.variables, jnp.asarray(block), self._carries,
+                    jnp.int32(i), self._ring, jnp.int32(sl.z_done % R))
+                consume(sl, B - 4)
             if steadies:
                 blocks = np.zeros((self.N, blk_n), np.float32)
                 mask = np.zeros((self.N,), bool)
+                offs = np.zeros((self.N,), np.int32)
                 for i, sl in steadies:
                     blocks[i] = _take_block(sl.sig, sl.sig_off, sl.t_mel, s, B)
                     mask[i] = True
-                self._carries, z_all = self._batched_steady(
+                    offs[i] = sl.z_done % R
+                self._carries, self._ring = self._batched_ring(
                     self.task.variables, jnp.asarray(blocks), self._carries,
-                    jnp.asarray(mask))
-                z_np = np.asarray(z_all)
+                    jnp.asarray(mask), self._ring, jnp.asarray(offs))
                 for i, sl in steadies:
-                    append_z(sl, z_np[i])
+                    consume(sl, B)
 
     def _ready_windows(self, slot: _ServerSlot):
         """Up to emit_batch next windows whose frames are encoded."""
@@ -450,64 +497,66 @@ class StreamingServer:
                 break
             out.append((w, f0, ts))
             w += 1
-        return out, limit
+        return out
 
-    def tick(self) -> Dict[int, List[Tuple[float, np.ndarray]]]:
-        """Advance every live stream: one batched block round + one
-        batched suffix call; returns newly-ready frames per stream."""
-        self._advance_blocks()
-        s = self.spec
-        emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}
-        D_shape = None
-        plan = []  # (sid, slot, batch, lo)
+    def _dispatch(self):
+        """Plan this round's ready windows and launch the suffix call
+        (async). Advances w_done/inflight immediately — the dispatched
+        gather reads its own ring snapshot, so later ingestion is free to
+        reuse those ring rows."""
+        s, R = self.spec, self.R
+        plan = []
         for sid, slot in enumerate(self._slots):
             if slot is None:
                 continue
-            batch, limit = self._ready_windows(slot)
-            if slot.flushing and slot.w_done >= limit:
-                slot.done = True
-            if not batch:
-                continue
-            lo = batch[0][1]
-            plan.append((sid, slot, batch, lo))
-            if slot.zbuf is not None:
-                D_shape = slot.zbuf.shape[1:]
+            batch = self._ready_windows(slot)
+            if batch:
+                plan.append((sid, slot, batch))
         if not plan:
-            return emitted
+            return None, None
 
         W = self.N * self.emit_batch
-        z_flat = np.zeros((self.N * self._slice_len,) + D_shape, np.float32)
         idx = np.zeros((W, s.frames), np.int32)
         spk = np.zeros((W,), np.int32)
+        ar = np.arange(s.frames, dtype=np.int64)
         row = 0
-        for r, (sid, slot, batch, lo) in enumerate(plan):
-            rel = lo - slot.z_off
-            z_slice = slot.zbuf[rel : rel + self._slice_len]
-            z_flat[r * self._slice_len : r * self._slice_len + len(z_slice)] = z_slice
+        for sid, slot, batch in plan:
             for (w, f0, ts) in batch:
-                idx[row] = r * self._slice_len + (f0 - lo) + np.arange(
-                    s.frames, dtype=np.int32)
+                idx[row] = sid * R + (f0 + ar) % R
                 spk[row] = slot.speaker
                 row += 1
-        idx[row:] = idx[0]  # pad windows (results discarded)
-
-        flat = np.asarray(self._verts_fn(
-            self.task.variables, self._consts, jnp.asarray(z_flat),
-            jnp.asarray(idx), jnp.asarray(spk)))
-
-        row = 0
-        for (sid, slot, batch, lo) in plan:
-            frames = []
-            for (w, f0, ts) in batch:
-                frames.append((ts, flat[row].reshape(-1, 3)))
-                row += 1
-            emitted.setdefault(sid, []).extend(frames)
             slot.w_done = batch[-1][0] + 1
-            # trim consumed z
-            cut = self._window_geom(slot.w_done)[0] - slot.z_off
-            if cut > 0 and slot.zbuf is not None:
-                slot.zbuf = slot.zbuf[cut:]
-                slot.z_off += cut
-            if slot.flushing and slot.w_done >= s.n_windows(slot.n_real):
-                slot.done = True
+            slot.inflight += len(batch)
+        idx[row:] = idx[0]  # pad windows (results discarded)
+        handle = self._verts_fn(self.task.variables, self._consts,
+                                self._ring, jnp.asarray(idx),
+                                jnp.asarray(spk))
+        return plan, handle
+
+    def _collect(self, plan, handle):
+        flat = np.asarray(handle)
+        if self._wire == "i16":
+            flat = flat.astype(np.float32) * self._lsb
+        emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+        row = 0
+        for sid, slot, batch in plan:
+            frames = [(ts, flat[row + j].reshape(-1, 3))
+                      for j, (w, f0, ts) in enumerate(batch)]
+            row += len(batch)
+            slot.inflight -= len(batch)
+            if self._slots[sid] is slot:  # drop if closed mid-flight
+                emitted.setdefault(sid, []).extend(frames)
         return emitted
+
+    def tick(self) -> Dict[int, List[Tuple[float, np.ndarray]]]:
+        """Advance every live stream: one batched block round + one
+        batched suffix call. Non-pipelined: returns this round's frames.
+        Pipelined: returns the PREVIOUS round's frames (one-tick latency;
+        the download of round k−1 overlaps round k's device compute)."""
+        self._advance_blocks()
+        plan, handle = self._dispatch()
+        if not self.pipeline:
+            return self._collect(plan, handle) if plan else {}
+        prev, self._inflight_call = (
+            self._inflight_call, (plan, handle) if plan else None)
+        return self._collect(*prev) if prev else {}

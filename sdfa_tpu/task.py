@@ -24,6 +24,11 @@ from .utils import ArgumentParser, log
 from .utils.config import ConfigDict
 from . import audio as audio_lib
 
+# int16 vertex wire format: metres per LSB. ±32767 LSB spans ±0.327 m —
+# FLAME-scale head coordinates stay < 0.3 m — with 5e-6 m max quantization
+# error (0.005 mm), 20× inside the 1e-4 m serving parity budget.
+WIRE_LSB = 1e-5
+
 
 def load_dataset_truth(path: str, fps: float) -> Dict:
     """Truth track from a preprocessed sentence dir: {"title", "tslist",
@@ -108,8 +113,10 @@ class AnimationTask:
 
         self._encode_frames = jax.jit(encode_frames)
         self._fwd_windows = jax.jit(fwd_windows)
-        self._verts_jit = None  # lazily-built fused anime→vertices path
+        self._verts_jit = {}  # lazily-built fused anime→vertices paths (per wire)
+        self._verts_base = None
         self._stream_jits = None  # lazily-built streaming block fns
+        self._ring_jits = {}  # lazily-built server ring-buffer block fns
 
     def _wspec(self):
         from .audio.pipeline import _spec_cache
@@ -317,14 +324,40 @@ class AnimationTask:
         verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
         return ts_list, verts
 
-    def _get_verts_fn(self):
+    def _get_verts_fn(self, wire: str = "f32"):
         """(jitted fn, consts) for the fused windows→vertices device path:
         fn(variables, consts, z_frames, frame_idx, spk) → flat (W, V·3).
-        Built once; shared by generate_vertices and StreamingSession."""
+        Built once per wire format; shared by generate_vertices and the
+        streaming session/server.
+
+        wire="f32" returns float32 metres. wire="i16" quantizes ON DEVICE
+        to int16 at WIRE_LSB (1e-5 m ≈ 0.01 mm) per LSB — halving the
+        bytes a tunnel/network host downloads per frame, which is the
+        measured capacity ceiling of multi-stream serving (~30 MB/s
+        effective on the axon tunnel; DESIGN.md §12.3). Quantization
+        error ≤ WIRE_LSB/2 = 5e-6 m, far inside the 1e-4 serving budget;
+        FLAME-scale |coords| < 0.3 m < the ±0.327 m int16 range."""
+        if wire not in self._verts_jit:
+            base, consts = self._verts_base_fn()
+            if wire == "f32":
+                fn = base
+            elif wire == "i16":
+
+                def fn(variables, consts, z_frames, frame_idx, spk):
+                    flat = base(variables, consts, z_frames, frame_idx, spk)
+                    q = jnp.round(flat * (1.0 / WIRE_LSB))
+                    return jnp.clip(q, -32767, 32767).astype(jnp.int16)
+
+            else:
+                raise ValueError(f"unknown wire format {wire!r}")
+            self._verts_jit[wire] = (jax.jit(fn), consts)
+        return self._verts_jit[wire]
+
+    def _verts_base_fn(self):
         from .viewer import frame as frame_mod
 
         face_type = self.hp.model.face_data_type
-        if self._verts_jit is None:
+        if self._verts_base is None:
             model = self.model
             if face_type == "dgrad_3d":
                 from .ops import solve_fn
@@ -363,7 +396,7 @@ class AnimationTask:
                         lambda pr: decode_solve(variables, consts, pr),
                         preds, n_w, dchunk)
 
-                self._verts_jit = (jax.jit(fn), consts)
+                self._verts_base = (fn, consts)
             else:
                 from .viewer.frame import template
 
@@ -380,8 +413,40 @@ class AnimationTask:
                         anime = anime + tmpl
                     return anime  # (W, V·3)
 
-                self._verts_jit = (jax.jit(fn), tmpl)
-        return self._verts_jit
+                self._verts_base = (fn, tmpl)
+        return self._verts_base
+
+    def _band_ops(self, block_frames: int):
+        """Band-structured Savitzky-Golay Δ/Δ² operators for one streaming
+        block: returns band_ops(first) → (K1, K2, center0, n_out) — the
+        (B+8, n_out) numpy matmul kernels applied to the 8-frame-carry mel
+        context. Columns are exactly the offline ``dsp.delta_matrix``'s
+        interior 9-tap kernel (T-independent), with the offline operator's
+        edge fits for frames 0..3 in the first-block variant."""
+        from .audio import dsp
+
+        B, width = int(block_frames), 9
+        d1m, d2m = dsp.delta_matrix(4 * width, 1), dsp.delta_matrix(4 * width, 2)
+        c = 2 * width
+        k1, k2 = d1m[c - 4 : c + 5, c], d2m[c - 4 : c + 5, c]  # (9,)
+        e1, e2 = d1m[:width, :4], d2m[:width, :4]              # (9, 4)
+
+        def band_ops(first: bool):
+            n_out = B - 4 if first else B
+            K1 = np.zeros((B + 8, n_out), np.float32)
+            K2 = np.zeros((B + 8, n_out), np.float32)
+            for j in range(n_out):
+                if first and j < 4:   # frames 0..3: edge fit on ctx
+                    K1[8:17, j] = e1[:, j]   # rows 8..16 ↔ frames 0..8
+                    K2[8:17, j] = e2[:, j]
+                else:
+                    # output j ↔ frame t0-4+j ↔ ctx rows [j+o-4, j+o+5)
+                    o = 8 if first else 4
+                    K1[j + o - 4 : j + o + 5, j] = k1
+                    K2[j + o - 4 : j + o + 5, j] = k2
+            return K1, K2, (8 if first else 4), n_out
+
+        return band_ops
 
     def _get_stream_fns(self, block_frames: int):
         """(fused_first_fn, fused_steady_fn) for StreamingSession — ONE
@@ -405,26 +470,8 @@ class AnimationTask:
 
             s = self._wspec()
             model = self.model
-            B, width = int(block_frames), 9
-            d1m, d2m = dsp.delta_matrix(4 * width, 1), dsp.delta_matrix(4 * width, 2)
-            c = 2 * width
-            k1, k2 = d1m[c - 4 : c + 5, c], d2m[c - 4 : c + 5, c]  # (9,)
-            e1, e2 = d1m[:width, :4], d2m[:width, :4]              # (9, 4)
-
-            def band_ops(first: bool):
-                n_out = B - 4 if first else B
-                K1 = np.zeros((B + 8, n_out), np.float32)
-                K2 = np.zeros((B + 8, n_out), np.float32)
-                for j in range(n_out):
-                    if first and j < 4:   # frames 0..3: edge fit on ctx
-                        K1[8:17, j] = e1[:, j]   # rows 8..16 ↔ frames 0..8
-                        K2[8:17, j] = e2[:, j]
-                    else:
-                        # output j ↔ frame t0-4+j ↔ ctx rows [j+o-4, j+o+5)
-                        o = 8 if first else 4
-                        K1[j + o - 4 : j + o + 5, j] = k1
-                        K2[j + o - 4 : j + o + 5, j] = k2
-                return K1, K2, (8 if first else 4), n_out
+            B = int(block_frames)
+            band_ops = self._band_ops(B)
 
             def make_fused(first: bool):
                 K1, K2, center0, n_out = band_ops(first)
@@ -486,6 +533,87 @@ class AnimationTask:
                                                make_fused(False),
                                                make_batched_steady())
         return self._stream_jits[block_frames]
+
+    def _get_ring_fns(self, block_frames: int, ring_len: int, capacity: int):
+        """(first_ring, batched_ring) for StreamingServer's device-resident
+        encoded-frame ring (DESIGN.md §12.3): the encoder-prefix output
+        never leaves the device. Each block call scatters its z rows into
+        a flat (capacity·ring_len, …) ring at ``slot·R + (abs_frame mod
+        R)``; the suffix call then gathers windows straight from the ring
+        through the SAME ``forward_windows`` entry every offline path uses
+        (``z_frames[frame_idx]`` is a pure gather — wrapped indices are
+        just another frame table). This removes both the per-tick z
+        download and the per-tick z-slice re-upload of a host-buffer
+        design (~1 MB/tick at 8 streams) — tunnel bandwidth, not compute,
+        is the measured multi-stream capacity ceiling.
+
+        first_ring(variables, block, carries, slot, ring, off)
+            → (carries, ring): one utterance's first block (edge-fit Δ
+              variant, writes B−4 frames); slot/off are int32 scalars.
+        batched_ring(variables, blocks, carries, mask, ring, offs)
+            → (carries, ring): every live slot's steady block in ONE call;
+              masked slots keep their carry and write nothing (their
+              scatter rows are sent out of range, mode="drop").
+        """
+        key = (int(block_frames), int(ring_len), int(capacity))
+        if key not in self._ring_jits:
+            from .audio import dsp
+            from .nn.precision import OPS_PREC as _SPREC
+
+            s = self._wspec()
+            model = self.model
+            B, R, N = key
+            band_ops = self._band_ops(B)
+
+            def mel_part(pre, carry, K1j, K2j, center0, n_out):
+                from .audio.pipeline import mel_from_frames
+
+                frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+                mel = mel_from_frames(frames, s)
+                ctx = jnp.concatenate([carry, mel])  # (B+8, M)
+                d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
+                d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
+                center = ctx[center0 : center0 + n_out]
+                return ctx[-8:], jnp.stack([center, d1, d2], axis=-1)
+
+            K1f, K2f, c0f, n_first = band_ops(True)
+            K1fj, K2fj = jnp.asarray(K1f), jnp.asarray(K2f)
+            K1s, K2s, c0s, n_steady = band_ops(False)
+            K1sj, K2sj = jnp.asarray(K1s), jnp.asarray(K2s)
+
+            def first_ring(variables, block, carries, slot, ring, off):
+                zero_carry = jnp.zeros((8, s.n_mels), jnp.float32)
+                tail, feats = mel_part(block, zero_carry, K1fj, K2fj,
+                                       c0f, n_first)
+                z = model.apply(variables, feats,
+                                method=SpeechDrivenAnimation.encode_frames)
+                ar = jnp.arange(n_first, dtype=jnp.int32)
+                ring = ring.at[slot * R + (off + ar) % R].set(z)
+                carries = carries.at[slot].set(tail)
+                return carries, ring
+
+            slot_ids = jnp.arange(N, dtype=jnp.int32)
+
+            def batched_ring(variables, blocks, carries, mask, ring, offs):
+                tails, feats = jax.vmap(
+                    lambda p, c: mel_part(p, c, K1sj, K2sj, c0s, n_steady)
+                )(blocks, carries)
+                # encoder prefix on the FLATTENED (N·B)-frame batch — the
+                # prefix is per-frame by construction, and the fused Pallas
+                # FreqLstm cannot lower under vmap (same reasoning as
+                # _get_stream_fns.make_batched_steady)
+                flat = feats.reshape((-1,) + feats.shape[2:])
+                z = model.apply(variables, flat,
+                                method=SpeechDrivenAnimation.encode_frames)
+                ar = jnp.arange(n_steady, dtype=jnp.int32)
+                pos = slot_ids[:, None] * R + (offs[:, None] + ar[None, :]) % R
+                pos = jnp.where(mask[:, None], pos, N * R)  # OOB → dropped
+                ring = ring.at[pos.reshape(-1)].set(z, mode="drop")
+                carries = jnp.where(mask[:, None, None], tails, carries)
+                return carries, ring
+
+            self._ring_jits[key] = (jax.jit(first_ring), jax.jit(batched_ring))
+        return self._ring_jits[key]
 
     def stream(self, speaker, emit_batch: int = 16, block_frames: int = 16):
         """Real-time streaming session: push audio chunks, receive mesh

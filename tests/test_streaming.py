@@ -216,3 +216,71 @@ class TestServer:
         c = srv.open(2)        # slot reused
         assert c == a
         assert sorted(srv.live()) == sorted([b, c])
+
+    def test_pipelined_ticks_match_and_wire_formats(self, shipped_task):
+        """pipeline=True returns the previous round's frames (one-tick
+        latency) but the union over the drain loop is identical; the f32
+        wire matches a dedicated session to fp-reassociation tolerance
+        (the pool-flattened prefix tiles differently) and the i16 wire
+        adds at most the WIRE_LSB/2 quantization bound on top."""
+        from sdfa_tpu.streaming import StreamingServer
+        from sdfa_tpu.task import WIRE_LSB
+
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=1.2, seed=33)
+
+        sess = task.stream(0, emit_batch=8)
+        ref = sess.push(sig)
+        ref.extend(sess.flush())
+
+        for wire, atol in (("f32", 2e-5), ("i16", 2e-5 + WIRE_LSB / 2)):
+            srv = StreamingServer(task, capacity=2, emit_batch=8,
+                                  wire=wire, pipeline=True)
+            sid = srv.open(0)
+            got = []
+            rng = np.random.default_rng(5)
+            i = 0
+            while i < len(sig):
+                n = int(rng.integers(700, 2600))
+                srv.push(sid, sig[i : i + n])
+                i += n
+                for _, frames in srv.tick().items():
+                    got.extend(frames)
+            srv.flush(sid)
+            while not srv.is_done(sid):
+                for _, frames in srv.tick().items():
+                    got.extend(frames)
+            assert [t for t, _ in got] == [t for t, _ in ref], wire
+            err = np.abs(np.stack([v for _, v in got])
+                         - np.stack([v for _, v in ref])).max()
+            assert err <= atol, (wire, err)
+
+    def test_ring_wrap_long_stream(self, shipped_task):
+        """A clip much longer than the ring forces many wrap-arounds of
+        every slot's ring segment; frames still match offline (the gather
+        indices follow the mod-R addressing, and ingestion is bounded so
+        needed rows are never lapped)."""
+        from sdfa_tpu.streaming import StreamingServer
+
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=3.2, seed=44)
+        ts_ref, verts_ref = task.generate_vertices(sig, 1)
+
+        srv = StreamingServer(task, capacity=2, emit_batch=4,
+                              block_frames=12, ring_frames=128)
+        assert srv.R * srv.spec.hop_size < len(sig) / 2  # must wrap
+        sid = srv.open(1)
+        got = []
+        i = 0
+        while i < len(sig):
+            srv.push(sid, sig[i : i + 1800])
+            i += 1800
+            for _, frames in srv.tick().items():
+                got.extend(frames)
+        srv.flush(sid)
+        while not srv.is_done(sid):
+            for _, frames in srv.tick().items():
+                got.extend(frames)
+        assert [t for t, _ in got] == list(ts_ref)
+        np.testing.assert_allclose(np.stack([v for _, v in got]),
+                                   verts_ref, atol=5e-5)
