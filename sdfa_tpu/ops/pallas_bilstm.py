@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_freq_lstm import _dot_f32
+from .pallas_freq_lstm import _dot_f32, row_block
 
 
 def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
@@ -140,7 +140,9 @@ def bilstm_layer_fused(
     assert two == 2
     hidden = gdim // 4
 
-    blk = min(block_rows, max(128, rows))
+    # rows ride the sublane axis of each (blk, in)/(blk, H) DMA tile —
+    # Mosaic requires sublane slices 8-aligned; round up and zero-pad
+    blk = row_block(rows, block_rows, align=8)
     pad = (-rows) % blk
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))

@@ -48,6 +48,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def row_block(rows: int, block_rows: int, align: int, floor: int = 128) -> int:
+    """Row-block size for a kernel that slices rows off an HBM axis:
+    capped at ``block_rows``, at least ``floor``, rounded UP to ``align``
+    (Mosaic requires lane slices 128-aligned and sublane slices
+    8-aligned — a 192-row pool batch fails lane slicing otherwise)."""
+    blk = min(block_rows, max(floor, rows))
+    return -(-blk // align) * align
+
+
 def _dot_f32(a, b, precise: bool = True):
     """f32 matmul with 3-pass bf16 error compensation (HIGH-precision
     semantics) — Mosaic's plain f32 dot truncates operands to bf16."""
@@ -194,7 +203,9 @@ def freq_lstm_fused(
     assert w_proj.shape[0] == n_freq * 2 * hidden, (
         w_proj.shape, n_freq, hidden)
 
-    blk = min(block_rows, max(128, rows))
+    # rows ride the 128-lane axis inside the kernel: every per-step DMA
+    # slices x_hbm[..., b0:b0+blk] along lanes → blk must be 128-aligned
+    blk = row_block(rows, block_rows, align=128)
     pad = (-rows) % blk
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))

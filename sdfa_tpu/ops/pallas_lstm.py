@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_freq_lstm import row_block
+
 
 def _lstm_kernel(x_hbm, w_hh, bias, out_hbm, *, seq_len: int, blk: int,
                  hidden: int, reverse: bool, use_bias: bool):
@@ -125,7 +127,8 @@ def lstm_sequence_pallas(
     """x_proj (B, T, 4H), w_hh (H, 4H), bias (4H,)|None → (B, T, H)."""
     bsz, seq_len, gdim = x_proj.shape
     hidden = gdim // 4
-    blk = min(block_b, max(8, bsz))
+    # batch rides the sublane axis: 8-align the block's HBM slices
+    blk = row_block(bsz, block_b, align=8, floor=8)
     pad = (-bsz) % blk
     if pad:
         x_proj = jnp.pad(x_proj, ((0, pad), (0, 0), (0, 0)))

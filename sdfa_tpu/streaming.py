@@ -531,6 +531,14 @@ class StreamingServer:
         handle = self._verts_fn(self.task.variables, self._consts,
                                 self._ring, jnp.asarray(idx),
                                 jnp.asarray(spk))
+        if self.pipeline:
+            # request the device→host copy NOW, before the next tick
+            # enqueues more work: on FIFO links (the axon tunnel) a copy
+            # requested at collect time queues behind the next round's
+            # compute and the "overlap" becomes a serialization. Measured
+            # (N=32, i16): 355 ms/round overlapped vs 620 ms collected
+            # late — the transfer pipelines with the next round.
+            handle.copy_to_host_async()
         return plan, handle
 
     def _collect(self, plan, handle):

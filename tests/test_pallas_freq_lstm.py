@@ -47,6 +47,35 @@ class TestKernelParity:
                               block_rows=128, interpret=True)
         assert float(jnp.abs(out - ref).max()) < 2e-5
 
+    def test_block_alignment(self):
+        """Mosaic slice alignment: the freq kernel slices rows on the
+        128-lane axis, the time kernels on the 8-sublane axis. A 192-row
+        pool batch (StreamingServer N=12·emit 16) used to pick blk=192
+        and fail Mosaic compile ("must be aligned to tiling (128)")."""
+        from sdfa_tpu.ops.pallas_freq_lstm import row_block
+        assert row_block(192, 512, align=128) == 256
+        assert row_block(128, 512, align=128) == 128
+        assert row_block(13184, 512, align=128) == 512
+        assert row_block(50, 512, align=128) == 128
+        assert row_block(132, 256, align=8) == 136
+        assert row_block(13, 512, align=8, floor=8) == 16
+        for rows in (1, 100, 192, 640, 5000):
+            assert row_block(rows, 512, align=128) % 128 == 0
+            assert row_block(rows, 256, align=8) % 8 == 0
+
+    def test_unaligned_pool_rows(self, rng):
+        """rows=192 (the failing server shape) end-to-end in interpret."""
+        rows, F, C, H, OUT = 192, 4, 64, 128, 256
+        x = _rand(rng, (rows, F, C), 1.0)
+        w_ih = _rand(rng, (2, C, 4 * H))
+        w_hh = _rand(rng, (2, H, 4 * H))
+        w_proj = _rand(rng, (F * 2 * H, OUT), 0.02)
+        out = freq_lstm_fused(x, w_ih, w_hh, None, w_proj, None,
+                              interpret=True)
+        assert out.shape == (rows, OUT)
+        ref = freq_lstm_reference(x, w_ih, w_hh, None, w_proj, None)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
     def test_row_padding(self, rng):
         """rows not a block multiple: padded rows must not leak."""
         rows, F, C, H, OUT = 200, 4, 64, 128, 256
