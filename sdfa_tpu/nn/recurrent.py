@@ -36,9 +36,11 @@ _FREQ_FUSED_INTERPRET = False
 
 def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
     """Shared gating for the fused inference kernels: no autodiff rule →
-    training keeps the scan path; under GSPMD sharding a pallas_call is
-    an opaque custom call the partitioner cannot split → default to
-    single-chip TPU only ("auto"); env=1 forces on-TPU, env=0 disables."""
+    training keeps the scan path. Multi-chip is fine: the kernels are
+    partition-aware (``ops.pallas_freq_lstm.rows_partitioned`` declares
+    rows-batch parallelism to GSPMD/Shardy, so a sharded jit splits the
+    rows axis and runs the kernel per shard). env=0 disables, env=1
+    forces (any TPU), default "auto" = any TPU inference."""
     if training:
         return False
     if _FREQ_FUSED_INTERPRET:
@@ -46,9 +48,7 @@ def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
     flag = _os.environ.get(env_name, "auto")
     if flag == "0":
         return False
-    if flag == "1":
-        return jax.default_backend() == "tpu"
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return jax.default_backend() == "tpu"
 
 
 def _run_lstm(x_proj, w_hh, bias_sum, hidden_size, reverse=False):

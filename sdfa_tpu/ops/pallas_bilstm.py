@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_freq_lstm import _dot_f32, row_block
+from .pallas_freq_lstm import _dot_f32, row_block, rows_partitioned
 
 
 def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
@@ -121,20 +121,8 @@ def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
     out_dma(or_buf, (seq_len - 1) % 2, 2 + (seq_len - 1) % 2, 0, 1).wait()
 
 
-def bilstm_layer_fused(
-    x: jnp.ndarray,
-    w_ih: jnp.ndarray,
-    w_hh: jnp.ndarray,
-    gate_bias: Optional[jnp.ndarray],
-    block_rows: int = 256,
-    interpret: bool = False,
-    precise: bool = True,
-) -> jnp.ndarray:
-    """Fused bidirectional LSTM layer: x (rows, T, in) → (rows, T, 2H).
-
-    w_ih (2, in, 4H), w_hh (2, H, 4H), gate_bias (2, 4H) or None —
-    direction 0 forward, 1 reverse; torch gate order i,f,g,o.
-    """
+def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
+                       *, block_rows: int, interpret: bool, precise: bool):
     rows, seq_len, n_in = x.shape
     two, _, gdim = w_ih.shape
     assert two == 2
@@ -190,6 +178,42 @@ def bilstm_layer_fused(
     )(x_trc, w_ih, w_hh, gb)
     out = jnp.swapaxes(out, 0, 1)  # (rows', T, 2H)
     return out[:rows]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilstm_cp(block_rows: int, precise: bool, interpret: bool):
+    # plain positional closure: custom_partitioning rejects partials with
+    # keyword-only bindings
+    def impl(x, w_ih, w_hh, gb):
+        return _bilstm_fused_impl(x, w_ih, w_hh, gb, block_rows=block_rows,
+                                  precise=precise, interpret=interpret)
+
+    return rows_partitioned(
+        impl, "i t c, a c g, a h g, a g -> i t d",
+        ("t", "c", "a", "g", "h", "d"))
+
+
+def bilstm_layer_fused(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    gate_bias: Optional[jnp.ndarray],
+    block_rows: int = 256,
+    interpret: bool = False,
+    precise: bool = True,
+) -> jnp.ndarray:
+    """Fused bidirectional LSTM layer: x (rows, T, in) → (rows, T, 2H).
+
+    w_ih (2, in, 4H), w_hh (2, H, 4H), gate_bias (2, 4H) or None —
+    direction 0 forward, 1 reverse; torch gate order i,f,g,o.
+
+    Partition-aware like freq_lstm_fused: rows may shard across a mesh,
+    each shard runs the kernel locally; weights replicate.
+    """
+    gdim = w_ih.shape[2]
+    gb = (gate_bias if gate_bias is not None
+          else jnp.zeros((2, gdim), x.dtype))
+    return _bilstm_cp(block_rows, precise, interpret)(x, w_ih, w_hh, gb)
 
 
 def bilstm_layer_reference(x, w_ih, w_hh, gate_bias):

@@ -45,7 +45,53 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as _P
+
+
+def rows_partitioned(impl, rule: str, need_replication: tuple):
+    """Make a rows-batched opaque kernel GSPMD/Shardy-partitionable.
+
+    A ``pallas_call`` is an opaque custom call the SPMD partitioner
+    cannot split, which forced multi-chip serving back to the scan path
+    (DESIGN §9). This wrapper declares the batch-parallel structure:
+    operand 0's leading (rows) axis may shard; every other operand is
+    replicated (the partitioner inserts resharding if a caller handed
+    weights in sharded). Each shard then runs ``impl`` on its local rows
+    — identical math, zero collectives.
+
+    ``rule`` is the einsum-style SdyShardingRule (Shardy is the default
+    partitioner in this JAX); ``need_replication`` lists every factor
+    except the rows factor. The GSPMD callbacks are also provided for
+    the legacy partitioner.
+    """
+    cp = custom_partitioning(impl)
+
+    def _rows_spec(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def _sharding(mesh, spec0, ndim):
+        return NamedSharding(mesh, _P(spec0, *([None] * (ndim - 1))))
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _sharding(mesh, _rows_spec(arg_shapes),
+                         len(result_shape.shape))
+
+    def partition(mesh, arg_shapes, result_shape):
+        s0 = _rows_spec(arg_shapes)
+        arg_sh = tuple(
+            _sharding(mesh, s0, len(a.shape)) if i == 0
+            else NamedSharding(mesh, _P())
+            for i, a in enumerate(arg_shapes))
+        return mesh, impl, _sharding(mesh, s0, len(result_shape.shape)), arg_sh
+
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=need_replication)
+    return cp
 
 
 def row_block(rows: int, block_rows: int, align: int, floor: int = 128) -> int:
@@ -176,25 +222,8 @@ def _freq_lstm_kernel(x_hbm, w_ih, w_hh, gate_bias, w_proj_hbm, b_proj,
     out_ref[:] = acc_ref[:] + b_proj[:]
 
 
-def freq_lstm_fused(
-    x: jnp.ndarray,
-    w_ih: jnp.ndarray,
-    w_hh: jnp.ndarray,
-    gate_bias: Optional[jnp.ndarray],
-    w_proj: jnp.ndarray,
-    b_proj: Optional[jnp.ndarray],
-    block_rows: int = 512,
-    interpret: bool = False,
-    precise: bool = True,
-) -> jnp.ndarray:
-    """Fused FreqLstm ("full" mode): x (rows, F, C) → (rows, out).
-
-    w_ih: (2, C, 4H) — dir 0 forward, dir 1 reverse (torch gate order
-    i,f,g,o along the 4H axis, matching nn/recurrent.py).
-    w_hh: (2, H, 4H). gate_bias: (2, 4H) = b_ih+b_hh per direction (or
-    None). w_proj: (F·2H, out) — the FC consuming the concat layout
-    [f, dir, h] exactly as FreqLstm reshapes it. b_proj: (out,) or None.
-    """
+def _freq_fused_impl(x, w_ih, w_hh, gate_bias, w_proj, b_proj,
+                     *, block_rows: int, interpret: bool, precise: bool):
     rows, n_freq, n_in = x.shape
     two, _, gdim = w_ih.shape
     assert two == 2, "freq_lstm_fused is bidirectional"
@@ -262,6 +291,52 @@ def freq_lstm_fused(
         interpret=interpret,
     )(x_fcr, w_ih, w_hh, gb, w_proj_4d, bp)
     return out[:rows]
+
+
+@functools.lru_cache(maxsize=None)
+def _freq_cp(block_rows: int, precise: bool, interpret: bool):
+    # plain positional closure: custom_partitioning rejects partials with
+    # keyword-only bindings ("keyword arguments could not be resolved")
+    def impl(x, w_ih, w_hh, gb, w_proj, bp):
+        return _freq_fused_impl(x, w_ih, w_hh, gb, w_proj, bp,
+                                block_rows=block_rows, precise=precise,
+                                interpret=interpret)
+
+    return rows_partitioned(
+        impl, "i f c, a c g, a h g, a g, p o, o -> i o",
+        ("f", "c", "a", "g", "h", "p", "o"))
+
+
+def freq_lstm_fused(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    gate_bias: Optional[jnp.ndarray],
+    w_proj: jnp.ndarray,
+    b_proj: Optional[jnp.ndarray],
+    block_rows: int = 512,
+    interpret: bool = False,
+    precise: bool = True,
+) -> jnp.ndarray:
+    """Fused FreqLstm ("full" mode): x (rows, F, C) → (rows, out).
+
+    w_ih: (2, C, 4H) — dir 0 forward, dir 1 reverse (torch gate order
+    i,f,g,o along the 4H axis, matching nn/recurrent.py).
+    w_hh: (2, H, 4H). gate_bias: (2, 4H) = b_ih+b_hh per direction (or
+    None). w_proj: (F·2H, out) — the FC consuming the concat layout
+    [f, dir, h] exactly as FreqLstm reshapes it. b_proj: (out,) or None.
+
+    Partition-aware: under a sharded jit the rows axis splits across the
+    mesh and each shard runs the kernel locally (``rows_partitioned``);
+    weights replicate. Single-device lowering is unchanged.
+    """
+    gdim = w_ih.shape[2]
+    gb = (gate_bias if gate_bias is not None
+          else jnp.zeros((2, gdim), x.dtype))
+    bp = (b_proj if b_proj is not None
+          else jnp.zeros((w_proj.shape[1],), x.dtype))
+    return _freq_cp(block_rows, precise, interpret)(
+        x, w_ih, w_hh, gb, w_proj, bp)
 
 
 def freq_lstm_reference(x, w_ih, w_hh, gate_bias, w_proj, b_proj):

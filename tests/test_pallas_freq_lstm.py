@@ -90,6 +90,77 @@ class TestKernelParity:
         assert float(jnp.abs(out - ref).max()) < 2e-5
 
 
+class TestShardedPartitioning:
+    """rows_partitioned: under a sharded jit the fused kernels split the
+    rows axis across the mesh and run per shard (no fallback to a
+    replicated whole-batch call), matching the unsharded reference."""
+
+    def test_freq_kernel_partitions_rows(self, rng, monkeypatch):
+        from jax.sharding import PartitionSpec as P
+
+        from sdfa_tpu.ops import pallas_freq_lstm as pfl
+        from sdfa_tpu.parallel import mesh as mesh_lib
+
+        rows, F, C, H, OUT = 256, 4, 64, 128, 256
+        x = _rand(rng, (rows, F, C), 1.0)
+        w_ih = _rand(rng, (2, C, 4 * H))
+        w_hh = _rand(rng, (2, H, 4 * H))
+        gb = _rand(rng, (2, 4 * H))
+        w_proj = _rand(rng, (F * 2 * H, OUT), 0.02)
+        b_proj = _rand(rng, (OUT,))
+        ref = freq_lstm_reference(x, w_ih, w_hh, gb, w_proj, b_proj)
+
+        seen = []
+        orig = pfl._freq_fused_impl
+
+        def spy(xx, *a, **k):
+            seen.append(xx.shape)
+            return orig(xx, *a, **k)
+
+        # the cp closure resolves _freq_fused_impl globally at call time
+        monkeypatch.setattr(pfl, "_freq_fused_impl", spy)
+
+        mesh = mesh_lib.make_mesh()
+        assert mesh.devices.size == 8
+        batch = mesh_lib.batch_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+
+        fn = jax.jit(
+            lambda *args: freq_lstm_fused(*args, interpret=True),
+            in_shardings=(batch, repl, repl, repl, repl, repl),
+            out_shardings=batch)
+        out = fn(jax.device_put(x, batch), *(
+            jax.device_put(w, repl) for w in (w_ih, w_hh, gb, w_proj, b_proj)))
+        assert out.sharding.is_equivalent_to(batch, out.ndim)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+        # the partition lowering must have traced the kernel at the LOCAL
+        # row count (rows/8), proving the rows axis actually split
+        assert (rows // 8, F, C) in seen, seen
+
+    def test_bilstm_kernel_partitions_rows(self, rng):
+        from sdfa_tpu.ops.pallas_bilstm import (bilstm_layer_fused,
+                                                bilstm_layer_reference)
+        from sdfa_tpu.parallel import mesh as mesh_lib
+
+        rows, T, IN, H = 128, 6, 256, 256
+        x = _rand(rng, (rows, T, IN), 1.0)
+        w_ih = _rand(rng, (2, IN, 4 * H), 0.05)
+        w_hh = _rand(rng, (2, H, 4 * H), 0.05)
+        gb = _rand(rng, (2, 4 * H), 0.05)
+        ref = bilstm_layer_reference(x, w_ih, w_hh, gb)
+
+        mesh = mesh_lib.make_mesh()
+        batch = mesh_lib.batch_sharding(mesh)
+        repl = mesh_lib.replicated(mesh)
+        fn = jax.jit(
+            lambda *args: bilstm_layer_fused(*args, interpret=True),
+            in_shardings=(batch, repl, repl, repl), out_shardings=batch)
+        out = fn(jax.device_put(x, batch),
+                 *(jax.device_put(w, repl) for w in (w_ih, w_hh, gb)))
+        assert out.sharding.is_equivalent_to(batch, out.ndim)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
+
+
 class TestModuleIntegration:
     """FreqLstm(fused) ≡ FreqLstm(scan) with the SAME parameter tree."""
 
