@@ -12,7 +12,8 @@ import json
 
 def main():
     parser = argparse.ArgumentParser("sdfa_tpu")
-    parser.add_argument("mode", choices=["train", "evaluate", "trace", "preprocess", "synth"])
+    parser.add_argument("mode", choices=["train", "evaluate", "trace",
+                                         "preprocess", "synth", "serve"])
     parser.add_argument("--custom_hparams", type=str, default=None)
     parser.add_argument("--tag", type=str, default=None)
     parser.add_argument("--log_dir", type=str, default=None)
@@ -48,6 +49,17 @@ def main():
     parser.add_argument("--font_size", type=int, default=24)
     parser.add_argument("--overwrite_video", action=argparse.BooleanOptionalAction,
                         default=True)
+    # serve options (sdfa_tpu/serve.py — no reference counterpart)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=9876)
+    parser.add_argument("--capacity", type=int, default=8,
+                        help="max concurrent live streams (serve)")
+    parser.add_argument("--emit_batch", type=int, default=16)
+    parser.add_argument("--block_frames", type=int, default=16)
+    parser.add_argument("--device_wire", choices=["i16", "f32"], default="i16",
+                        help="device→host vertex wire format (serve)")
+    parser.add_argument("--no_pipeline", action="store_true",
+                        help="disable pipelined ticks (serve)")
     # deformation asset overrides (reference __main__.py:15-17)
     parser.add_argument("--template_mesh", type=str, default=None)
     parser.add_argument("--mesh_constraints", type=str, default=None)
@@ -120,6 +132,18 @@ def main():
         root = args.dataset_root or "/tmp/synth_voca"
         synthetic.generate(root, face_type=args.face_type)
         print(f"synthetic dataset written to {root}")
+    elif args.mode == "serve":
+        from .api import load_task
+        from .serve import serve
+
+        if not args.load_from:
+            parser.error("serve requires --load_from <checkpoint>")
+        task = load_task(args.load_from, custom_hparams=args.custom_hparams,
+                         dataset_root=args.dataset_root, overrides=overrides,
+                         device_frontend=True, overlap_frontend=True)
+        serve(task, host=args.host, port=args.port, capacity=args.capacity,
+              emit_batch=args.emit_batch, block_frames=args.block_frames,
+              wire=args.device_wire, pipeline=not args.no_pipeline)
     elif args.mode == "preprocess":
         from .data.vocaset import preload
 
