@@ -314,9 +314,12 @@ def main():
         multi-clip frame table — forward_windows gathers from it as-is)."""
 
         def decode_solve(preds):  # {coeffs (w, 1, P)} → (w, 3, V)
-            anime = model.decode_to_anime(variables, preds)
+            # k-major planes end to end (decode permutes in its existing
+            # gather; solver slices contiguously — DESIGN §12.4)
+            anime = model.decode_to_anime(variables, preds, planes=True)
             return solve_fn(consts, anime[:, 0], consts.template_cnst,
-                            spec=spec, out_layout="3v")
+                            spec=spec, out_layout="3v",
+                            dgrad_layout="planes")
 
         def suffix_group(idx_g):  # (K, W, frames) → (K·W, 3, V)
             idx_f = idx_g.reshape(-1, idx_g.shape[-1])

@@ -273,20 +273,48 @@ class SpeechDrivenAnimation(nn.Module):
         return preds, z_audio, align_dict
 
     # -- post-processing -------------------------------------------------
-    def decode_to_anime(self, variables, preds: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    def decode_to_anime(self, variables, preds: Dict[str, jnp.ndarray],
+                        planes: bool = False) -> jnp.ndarray:
         """pred dict → flat anime feature (N, L, tris·9) or (N, L, V·3)
-        (model.py:225-259 data_to_anime_feat)."""
+        (model.py:225-259 data_to_anime_feat).
 
-        def pca_apply(name, coeffs):
+        ``planes=True`` (dgrad_3d only) emits the k-major plane layout
+        [k·n_tris + tri] instead of the reference's [tri·9 + k] — same
+        values, permuted; feed to solve_fn(dgrad_layout="planes"). On
+        TPU this turns the solver's 9 stride-9 component slices into
+        free contiguous slices (the permutation rides the decode's
+        existing interleave gather, costing nothing extra)."""
+
+        def pca_apply(name, coeffs, perm=None):
             col = "params" if self.pca_trainable else "constants"
             sub = variables[col][name]
-            return jnp.matmul(coeffs, sub["compT"].T, precision=_PREC) + sub["means"]
+            comp_t, means = sub["compT"].T, sub["means"]
+            if perm is not None:
+                # permute the (small) BASIS columns, not the (huge) decoded
+                # activation: the output then lands in the target layout
+                # straight out of the matmul — the round-3 profile showed
+                # the activation-level gather + the layout transpose XLA
+                # appends to it costing ~39 ms/call at W=8832
+                comp_t, means = comp_t[:, perm], means[perm]
+            return jnp.matmul(coeffs, comp_t, precision=_PREC) + means
 
         # dispatch on the keys actually present (not self.return_pca):
         # forward_windows(raw_pca=True) hands coefficient preds to a
         # face_data-typed model for chunked decoding
         if self.face_type == "dgrad_3d":
             if "dgrad_3d_scale_pca" in preds:
+                if planes:
+                    # k-major straight out of the PCA matmuls: concat of
+                    # the 6 scale planes and 3 rotat planes IS the planes
+                    # layout — no activation gather at all
+                    n_tris = variables[
+                        "params" if self.pca_trainable else "constants"
+                    ]["scale_pca"]["means"].shape[-1] // 6
+                    scale = pca_apply("scale_pca", preds["dgrad_3d_scale_pca"],
+                                      perm=_km_perm(n_tris, 6))
+                    rotat = pca_apply("rotat_pca", preds["dgrad_3d_rotat_pca"],
+                                      perm=_km_perm(n_tris, 3))
+                    return jnp.concatenate([scale, rotat], axis=-1)
                 scale = pca_apply("scale_pca", preds["dgrad_3d_scale_pca"])
                 rotat = pca_apply("rotat_pca", preds["dgrad_3d_rotat_pca"])
             else:
@@ -296,9 +324,10 @@ class SpeechDrivenAnimation(nn.Module):
             # interleave [6 scale | 3 rotat] per triangle via one gather along
             # the (large) last dim — layout-safe on TPU, no (…, tris, 9) temp
             n_tris = scale.shape[-1] // 6
-            perm = _interleave_perm(n_tris)
+            perm = _planes_perm(n_tris) if planes else _interleave_perm(n_tris)
             flat = jnp.concatenate([scale, rotat], axis=-1)
             return jnp.take(flat, perm, axis=-1)
+        assert not planes, "planes layout only exists for dgrad_3d"
         if f"{self.face_type}_pca" in preds:
             return pca_apply("pca", preds[f"{self.face_type}_pca"])
         return preds[self.face_type]
@@ -334,6 +363,30 @@ def _interleave_perm(n_tris: int):
     # tracer, and an lru_cache'd tracer leaks into the next trace
     # (UnexpectedTracerError); a numpy constant stages identically.
     return perm
+
+
+@functools.lru_cache(maxsize=None)
+def _km_perm(n_tris: int, per_tri: int):
+    """perm[k·T+j] = per_tri·j+k — tri-major → k-major, applied to the PCA
+    basis columns so the decode matmul emits planes directly."""
+    j = np.arange(n_tris)
+    perm = np.empty(n_tris * per_tri, np.int32)
+    for k in range(per_tri):
+        perm[k * n_tris + j] = per_tri * j + k
+    return perm  # numpy on purpose — see _interleave_perm
+
+
+@functools.lru_cache(maxsize=None)
+def _planes_perm(n_tris: int):
+    """perm[k·T+j] = 6j+k (k<6) else 6T+3j+(k−6): k-major plane layout —
+    solve_fn(dgrad_layout="planes") slices each component contiguously."""
+    j = np.arange(n_tris)
+    perm = np.empty(n_tris * 9, np.int32)
+    for k in range(6):
+        perm[k * n_tris + j] = 6 * j + k
+    for k in range(3):
+        perm[(6 + k) * n_tris + j] = 6 * n_tris + 3 * j + k
+    return perm  # numpy on purpose — see _interleave_perm
 
 
 def _npy_loader(*paths):

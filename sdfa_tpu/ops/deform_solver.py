@@ -45,7 +45,11 @@ class DeformConsts(NamedTuple):
     """
 
     w: jnp.ndarray            # (n_tris, 3 slots, 3) local-frame weights
-    p: jnp.ndarray            # (n_free, 3·n_eqs) direct-solve operator
+    p: jnp.ndarray            # (3, n_eqs, n_free) direct-solve operator,
+    #   pre-split per component and pre-transposed: slicing the
+    #   interleaved (n_free, 3·n_eqs) operator with [:, c::3] per call
+    #   showed up as three ~14-30 ms strided copies (3.6 GB/s) gating the
+    #   solve matmuls in the round-3 profile
     par: jnp.ndarray          # (n_free, n_cnsts) constraint subtraction
     inv: jnp.ndarray          # (n_free, n_free) (AtA)⁻¹ (refine path)
     ata: jnp.ndarray          # (n_free, n_free) AtA (refine path)
@@ -104,15 +108,28 @@ def _rhs_fn(consts: DeformConsts, spec: SolverSpec, dgrad: jnp.ndarray,
     return rhs
 
 
-def _transform_entries(dgrad_flat: jnp.ndarray, n_tris: int):
+def _transform_entries(dgrad_flat: jnp.ndarray, n_tris: int,
+                       layout: str = "tri"):
     """dgrad (..., n_tris·9) → the 9 entries of T = exp(skew)·S as a 3×3
     nested list of (..., n_tris) arrays.
 
     TPU layout note: keeping per-component planes (minor dim = n_tris)
     avoids the (..., n_tris, 9)/(..., 3, 3) layouts whose 128-lane tile
     padding blows memory up 14-42× on TPU.
+
+    ``layout``: "tri" = the reference frame layout [tri·9 + k] — the
+    9 per-component slices are stride-9 gathers, which XLA implements by
+    transposing the whole (..., 9·n_tris) array first (19 ms of pure
+    layout traffic per serving call at W=8832, round-3 profile). "planes"
+    = k-major [k·n_tris + tri]: every slice is contiguous and free. The
+    serving decode emits planes directly (models/sdfa.decode_to_anime
+    planes=True) — same math, one permutation folded into the decode's
+    existing interleave gather.
     """
-    d = [dgrad_flat[..., k::9] for k in range(9)]
+    if layout == "planes":
+        d = [dgrad_flat[..., k * n_tris:(k + 1) * n_tris] for k in range(9)]
+    else:
+        d = [dgrad_flat[..., k::9] for k in range(9)]
     one = jnp.ones_like(d[0])
     # symmetric scale S (+I on the diagonal)
     s = [[d[0] + 1.0, d[1], d[2]],
@@ -148,11 +165,14 @@ def solve_fn(
     method: str = "direct",
     refine: int = 2,
     out_layout: str = "v3",
+    dgrad_layout: str = "tri",
 ) -> jnp.ndarray:
     """Pure batched solve: dgrad (..., F, 9) or (..., F·9) → vertices.
 
     out_layout: "v3" → (..., V, 3) (host-friendly; avoid for huge batches on
     TPU — lane padding), "3v" → (..., 3, V) (TPU-native), "flat" → (..., V·3).
+    dgrad_layout: "tri" (reference [tri·9+k]) or "planes" (k-major — the
+    TPU-fast serving layout, see _transform_entries).
     Jittable with ``consts`` as a pytree argument.
     """
     if method == "direct":
@@ -160,24 +180,30 @@ def solve_fn(
             dgrad_flat = dgrad.reshape(dgrad.shape[:-2] + (spec.n_tris * 9,))
         else:
             dgrad_flat = dgrad
-        t = _transform_entries(dgrad_flat, spec.n_tris)
+        t = _transform_entries(dgrad_flat, spec.n_tris, dgrad_layout)
         if not spec.identity_eq:
             src = jnp.clip(consts.eq_src, 0, None)
             ident = (consts.eq_src < 0)
             t = [[jnp.where(ident, 1.0 if i == j else 0.0,
                             jnp.take(t[i][j], src, axis=-1))
                   for j in range(3)] for i in range(3)]
+        # Materialize the 9 transform planes ONCE. Without the barrier XLA
+        # re-fuses the whole exp(skew)·S construction (trig + selects)
+        # into EACH of the 9 P matmuls: the round-3 profile shows those
+        # fusions at 14-23 ms apiece vs a ~3.4 ms MXU roofline for the
+        # pure (W, n_eqs)@(n_eqs, n_free) product. 9 materialized planes
+        # cost one write+read each (~8 ms total at W=8832) and let the
+        # matmuls tile cleanly. SDFA_SOLVE_BARRIER=0 restores fusion.
+        if os.environ.get("SDFA_SOLVE_BARRIER", "1") == "1":
+            t = jax.lax.optimization_barrier(t)
         # X_d = Σ_c T[d][c] @ P_cᵀ, with P_c = P[:, c::3] (n_free, n_eqs)
         xs = []
         if os.environ.get("SDFA_SOLVE_CAT", "0") == "1":
             # fused-row variant: one (…, 3·n_eqs)@(3·n_eqs, n_free) matmul
             # per output row instead of 3 accumulated (…, n_eqs) matmuls —
             # fewer/larger MXU ops and only one row's T planes live at a
-            # time (HBM high-water-mark lever, VERDICT r2 #6). The grouped
-            # operator re-gathers from P per call (150 MB, noise next to
-            # the matmuls); all layouts keep n_eqs on the lane axis.
-            p_gt = jnp.concatenate(
-                [consts.p[:, c::3] for c in range(3)], axis=1).T
+            # time (HBM high-water-mark lever, VERDICT r2 #6).
+            p_gt = consts.p.reshape(3 * spec.n_eqs, spec.n_free)
             for dd in range(3):
                 t_cat = jnp.concatenate([t[dd][c] for c in range(3)], axis=-1)
                 xs.append(jnp.matmul(t_cat, p_gt, precision=_PREC))
@@ -185,8 +211,7 @@ def solve_fn(
             for dd in range(3):
                 acc = None
                 for c in range(3):
-                    p_c = consts.p[:, c::3]  # (n_free, n_eqs)
-                    term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
+                    term = jnp.matmul(t[dd][c], consts.p[c], precision=_PREC)
                     acc = term if acc is None else acc + term
                 xs.append(acc)  # (..., n_free)
         x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
@@ -260,8 +285,7 @@ def solve_mat_fn(
     for dd in range(3):
         acc = None
         for c in range(3):
-            p_c = consts.p[:, c::3]
-            term = jnp.matmul(t[dd][c], p_c.T, precision=_PREC)
+            term = jnp.matmul(t[dd][c], consts.p[c], precision=_PREC)
             acc = term if acc is None else acc + term
         xs.append(acc)
     x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
@@ -439,7 +463,10 @@ class DeformationSolver:
         self.inv_dev = jnp.asarray(self._inv_np, dtype)
         self.ata_dev = jnp.asarray(ata, dtype)
         self.atar_dev = jnp.asarray(atar, dtype)
-        self.p_dev = jnp.asarray(p_op, dtype)
+        # component planes (3, n_eqs, n_free): contiguous per-component
+        # operands for the solve matmuls (see DeformConsts.p)
+        self.p_dev = jnp.asarray(
+            np.stack([p_op[:, c::3].T for c in range(3)]), dtype)
         self.par_dev = jnp.asarray(par, dtype)
         self.eq_tri_dev = jnp.asarray(eq_tri, jnp.int32)
         self.eq_src_dev = jnp.asarray(eq_src, jnp.int32)

@@ -378,11 +378,16 @@ class AnimationTask:
                 chunkable = bool(model.using_pca)
 
                 def decode_solve(variables, consts, preds):
-                    anime = model.decode_to_anime(variables, preds)[:, 0]
+                    # k-major plane layout end to end: the decode's gather
+                    # permutes for free and the solver slices contiguously
+                    # (vs 9 stride-9 slices = a full-array transpose)
+                    anime = model.decode_to_anime(variables, preds,
+                                                  planes=True)[:, 0]
                     # flat output layout: (W, V·3) downloads without the
                     # 128-lane padding a (W, V, 3) device array would pay
                     return solve_fn(consts, anime, consts.template_cnst,
-                                    spec=spec, out_layout="flat")
+                                    spec=spec, out_layout="flat",
+                                    dgrad_layout="planes")
 
                 def fn(variables, consts, z_frames, frame_idx, spk):
                     preds, _, _ = model.apply(

@@ -190,6 +190,35 @@ class TestSolver:
         single = np.asarray(solver.solve(d[2]))
         np.testing.assert_allclose(out[2], single, atol=1e-5)
 
+    def test_planes_layout_matches_tri(self, solver):
+        """dgrad_layout="planes" (k-major, the TPU serving layout) is the
+        same math on a permuted view — results must match the reference
+        [tri·9+k] layout exactly, barrier on or off."""
+        import os
+
+        from sdfa_tpu.ops.deform_solver import solve_fn
+
+        rng = np.random.default_rng(9)
+        d = rng.uniform(-0.05, 0.05, (3, 9976 * 9)).astype(np.float32)
+        T = 9976
+        j = np.arange(T)
+        planes = np.empty_like(d)
+        for k in range(9):
+            planes[:, k * T + j] = d[:, 9 * j + k]
+        ref = np.asarray(solve_fn(
+            solver.consts, jnp.asarray(d), solver.consts.template_cnst,
+            spec=solver.spec, out_layout="flat"))
+        for barrier in ("1", "0"):
+            os.environ["SDFA_SOLVE_BARRIER"] = barrier
+            try:
+                out = np.asarray(solve_fn(
+                    solver.consts, jnp.asarray(planes),
+                    solver.consts.template_cnst, spec=solver.spec,
+                    out_layout="flat", dgrad_layout="planes"))
+            finally:
+                os.environ.pop("SDFA_SOLVE_BARRIER", None)
+            np.testing.assert_allclose(out, ref, atol=1e-6)
+
     # -- matrix variants (reference get_deform_mat/get_mesh_from_dm,
     #    deform_triangle_impl.hpp:313-440, pybind.cpp:137-152) -----------
     def test_matrix_roundtrip(self, solver, flame):

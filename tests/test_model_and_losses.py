@@ -86,6 +86,13 @@ class TestModel:
         out = np.asarray(anime).reshape(4, 1, 10, 9)
         np.testing.assert_allclose(out[..., :6], scale, atol=1e-6)
         np.testing.assert_allclose(out[..., 6:], rotat, atol=1e-6)
+        # planes=True: k-major permutation of the same values (the TPU
+        # serving layout consumed by solve_fn(dgrad_layout="planes"))
+        planes = np.asarray(
+            model.decode_to_anime(variables, preds, planes=True)
+        ).reshape(4, 1, 9, 10)
+        np.testing.assert_array_equal(planes,
+                                      np.moveaxis(out, -1, -2))
 
     def test_speaker_onehot(self):
         emb = SpeakerEmbedding(num_speakers=4, using_onehot=True)
