@@ -130,6 +130,14 @@ def _transform_entries(dgrad_flat: jnp.ndarray, n_tris: int,
         d = [dgrad_flat[..., k * n_tris:(k + 1) * n_tris] for k in range(9)]
     else:
         d = [dgrad_flat[..., k::9] for k in range(9)]
+    return transform_entries_from_planes(d)
+
+
+def transform_entries_from_planes(d):
+    """The 9 component planes d[0..8] → t[i][j] planes of T = exp(skew)·S.
+    Shared verbatim by the XLA path above and the fused Pallas
+    decode+solve kernel (ops/pallas_decode_solve.py) so their math is
+    identical by construction."""
     one = jnp.ones_like(d[0])
     # symmetric scale S (+I on the diagonal)
     s = [[d[0] + 1.0, d[1], d[2]],
@@ -154,6 +162,30 @@ def _transform_entries(dgrad_flat: jnp.ndarray, n_tris: int,
     # T = R·S
     t = [[sum(r[i][k] * s[k][j] for k in range(3)) for j in range(3)] for i in range(3)]
     return t
+
+
+def assemble_from_free(consts: DeformConsts, spec: SolverSpec,
+                       x: jnp.ndarray, cnst_verts: jnp.ndarray,
+                       out_layout: str) -> jnp.ndarray:
+    """Free-vertex solution x (..., 3, n_free) → full vertex array in the
+    requested layout: subtract the constrained-vertex correction and
+    scatter free + constrained ids. Shared by the XLA direct path and the
+    fused Pallas decode+solve kernel."""
+    if spec.n_cnsts > 0:
+        corr = jnp.matmul(consts.par, cnst_verts, precision=_PREC)  # (n_free, 3)
+        x = x - corr.T
+    batch_shape = x.shape[:-2]
+    out = jnp.zeros(batch_shape + (3, spec.n_verts), x.dtype)
+    out = out.at[..., consts.free_ids].set(x)
+    if spec.n_cnsts > 0:
+        out = out.at[..., consts.cnst_ids].set(
+            jnp.broadcast_to(cnst_verts.T, batch_shape + (3, spec.n_cnsts))
+        )
+    if out_layout == "3v":
+        return out
+    if out_layout == "flat":
+        return jnp.swapaxes(out, -1, -2).reshape(batch_shape + (spec.n_verts * 3,))
+    return jnp.swapaxes(out, -1, -2)
 
 
 def solve_fn(
@@ -215,21 +247,7 @@ def solve_fn(
                     acc = term if acc is None else acc + term
                 xs.append(acc)  # (..., n_free)
         x = jnp.stack(xs, axis=-2)  # (..., 3, n_free)
-        if spec.n_cnsts > 0:
-            corr = jnp.matmul(consts.par, cnst_verts, precision=_PREC)  # (n_free, 3)
-            x = x - corr.T
-        batch_shape = x.shape[:-2]
-        out = jnp.zeros(batch_shape + (3, spec.n_verts), x.dtype)
-        out = out.at[..., consts.free_ids].set(x)
-        if spec.n_cnsts > 0:
-            out = out.at[..., consts.cnst_ids].set(
-                jnp.broadcast_to(cnst_verts.T, batch_shape + (3, spec.n_cnsts))
-            )
-        if out_layout == "3v":
-            return out
-        if out_layout == "flat":
-            return jnp.swapaxes(out, -1, -2).reshape(batch_shape + (spec.n_verts * 3,))
-        return jnp.swapaxes(out, -1, -2)
+        return assemble_from_free(consts, spec, x, cnst_verts, out_layout)
     else:
         if dgrad.shape[-1] != 9:
             dgrad = dgrad.reshape(dgrad.shape[:-1] + (spec.n_tris, 9))

@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: fused PCA-decode → transform build → deformation
+solve.
+
+Round-3 op-level profile of the serving pipeline (DESIGN.md §12.4): the
+XLA decode+solve chunk runs ~180 ms/call at W=8832 — ~59 ms building the
+exp(skew)·S transform planes (9 × 352 MB written + re-read), ~65 ms for
+the nine (W, n_eqs)@(n_eqs, n_free) solve matmuls at 24% MXU, ~19 ms for
+the scale|rotat concat — all of it traffic/fusion overhead on a stage
+whose fundamental inputs are TINY: per window just 265 PCA coefficients.
+
+This kernel consumes the coefficients directly and keeps everything else
+in VMEM per (row-block × eq-tile) step:
+
+1. decode: d_k = coef @ basis[k-plane tile] + means  (9 planes, k-major
+   bases — the same permuted-basis trick as decode_to_anime(planes=True))
+2. transform build: t[i][j] tiles via the SHARED
+   ``deform_solver.transform_entries_from_planes`` (identical math to the
+   XLA path by construction),
+3. solve: acc[dd] += Σ_c t[dd][c] @ P[c]-tile, accumulated across eq
+   tiles in VMEM; the (row, 3, n_free) result is written once.
+
+HBM traffic per call: coefficients (9 MB) + bases (42 MB) + P operator
+(~160 MB) + output (~135 MB) ≈ 0.35 GB — vs ~25 GB for the XLA chain
+(dgrad planes + transform planes, each written and re-read). All matmuls
+accumulate f32 via the 3-pass bf16 hi/lo split (``_dot_f32``), matching
+lax.Precision.HIGH.
+
+Equation fan-out (n_eqs > n_tris) is NOT supported here — callers must
+check ``spec.identity_eq`` and fall back to ``solve_fn`` (the shipped
+FLAME template is identity; fan-out retargeting stays on the XLA path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deform_solver import (DeformConsts, SolverSpec, assemble_from_free,
+                            transform_entries_from_planes)
+from .pallas_freq_lstm import _dot_f32, row_block, rows_partitioned
+
+
+class DecodeSolveConsts(NamedTuple):
+    """Kernel-ready constants: k-major bases (eq-padded) + pre-split P.
+
+    Shapes (T' = n_tris padded to the eq-tile multiple; NF = n_free):
+    basis_s (Ks, 6, T'), means_s (6, T'), basis_r (Kr, 3, T'),
+    means_r (3, T'), p (3, T', NF). The padded tail has zero basis AND
+    zero means (decoded d=0 → identity transform) and zero P rows, so it
+    contributes exactly nothing regardless of the transform values.
+    """
+
+    basis_s: jnp.ndarray
+    means_s: jnp.ndarray
+    basis_r: jnp.ndarray
+    means_r: jnp.ndarray
+    p: jnp.ndarray
+
+
+def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
+                spec: SolverSpec, eq_tile: int = 512) -> DecodeSolveConsts:
+    """Build DecodeSolveConsts from the model's PCA subtrees
+    ({"compT": (6T|3T, K), "means": (…)}) and the solver consts. Do this
+    ONCE per task/bench process and pass the result to
+    ``decode_solve_fused`` — it holds ~200 MB of device arrays.
+    """
+    assert spec.identity_eq, "fused decode+solve needs identity equations"
+    T = spec.n_tris
+    Tp = -(-T // eq_tile) * eq_tile
+
+    def km(sub, per_tri):
+        comp = jnp.asarray(sub["compT"])        # (per_tri·T, K), tri-major
+        means = jnp.asarray(sub["means"]).reshape(-1)
+        K = comp.shape[1]
+        # tri-major (T, per_tri, K) → k-major (K, per_tri, T), then pad T
+        b = jnp.transpose(comp.reshape(T, per_tri, K), (2, 1, 0))
+        m = jnp.transpose(means.reshape(T, per_tri), (1, 0))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, Tp - T)))
+        m = jnp.pad(m, ((0, 0), (0, Tp - T)))
+        return b, m
+
+    basis_s, means_s = km(scale_sub, 6)
+    basis_r, means_r = km(rotat_sub, 3)
+    p = jnp.pad(consts.p, ((0, 0), (0, Tp - T), (0, 0)))  # (3, T', NF)
+    return DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p)
+
+
+def _kernel(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
+            o0, o1, o2, acc0, acc1, acc2, *, n_eq_tiles: int, precise: bool):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc0[:] = jnp.zeros_like(acc0)
+        acc1[:] = jnp.zeros_like(acc1)
+        acc2[:] = jnp.zeros_like(acc2)
+
+    d = [
+        _dot_f32(coef_s[:], basis_s[:, k, :], precise) + means_s[k:k + 1, :]
+        for k in range(6)
+    ] + [
+        _dot_f32(coef_r[:], basis_r[:, k, :], precise) + means_r[k:k + 1, :]
+        for k in range(3)
+    ]
+    t = transform_entries_from_planes(d)
+    accs = (acc0, acc1, acc2)
+    for dd in range(3):
+        val = (_dot_f32(t[dd][0], p[0], precise)
+               + _dot_f32(t[dd][1], p[1], precise)
+               + _dot_f32(t[dd][2], p[2], precise))
+        accs[dd][:] = accs[dd][:] + val
+
+    @pl.when(j == n_eq_tiles - 1)
+    def _():
+        o0[:] = acc0[:]
+        o1[:] = acc1[:]
+        o2[:] = acc2[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _ds_cp(eq_tile: int, block_rows: int, interpret: bool, precise: bool):
+    def impl(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p):
+        return _decode_solve_impl(
+            coef_s, coef_r,
+            DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p),
+            eq_tile=eq_tile, block_rows=block_rows, interpret=interpret,
+            precise=precise)
+
+    # rows-batch parallel under GSPMD/Shardy, like the LSTM kernels:
+    # the coefficient rows shard, every constant replicates
+    return rows_partitioned(
+        impl,
+        "i a, i b, c u e, u e, f g e, g e, g e l -> i g l",
+        ("a", "b", "c", "u", "e", "f", "g", "l"))
+
+
+def decode_solve_free(
+    coef_s: jnp.ndarray,
+    coef_r: jnp.ndarray,
+    dsc: DecodeSolveConsts,
+    eq_tile: int = 512,
+    block_rows: int = 512,
+    interpret: bool = False,
+    precise: bool = True,
+) -> jnp.ndarray:
+    """(rows, Ks), (rows, Kr) coefficients → free-vertex solution
+    (rows, 3, n_free). Wrap with ``assemble_from_free`` for full meshes."""
+    return _ds_cp(eq_tile, block_rows, interpret, precise)(
+        coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
+        dsc.p)
+
+
+def _decode_solve_impl(
+    coef_s: jnp.ndarray,
+    coef_r: jnp.ndarray,
+    dsc: DecodeSolveConsts,
+    eq_tile: int = 512,
+    block_rows: int = 512,
+    interpret: bool = False,
+    precise: bool = True,
+) -> jnp.ndarray:
+    rows = coef_s.shape[0]
+    Ks, six, Tp = dsc.basis_s.shape
+    Kr = dsc.basis_r.shape[0]
+    nf = dsc.p.shape[2]
+    assert six == 6 and Tp % eq_tile == 0, (dsc.basis_s.shape, eq_tile)
+    n_eq_tiles = Tp // eq_tile
+
+    blk = row_block(rows, block_rows, align=8)
+    pad = (-rows) % blk
+    if pad:
+        coef_s = jnp.pad(coef_s, ((0, pad), (0, 0)))
+        coef_r = jnp.pad(coef_r, ((0, pad), (0, 0)))
+    nb = coef_s.shape[0] // blk
+
+    kernel = functools.partial(_kernel, n_eq_tiles=n_eq_tiles,
+                               precise=precise)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, n_eq_tiles),
+        in_specs=[
+            pl.BlockSpec((blk, Ks), lambda i, j: (i, 0)),        # coef_s
+            pl.BlockSpec((blk, Kr), lambda i, j: (i, 0)),        # coef_r
+            pl.BlockSpec((Ks, 6, eq_tile), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((6, eq_tile), lambda i, j: (0, j)),
+            pl.BlockSpec((Kr, 3, eq_tile), lambda i, j: (0, 0, j)),
+            pl.BlockSpec((3, eq_tile), lambda i, j: (0, j)),
+            pl.BlockSpec((3, eq_tile, nf), lambda i, j: (0, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((blk, nf), lambda i, j: (i, 0)) for _ in range(3)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((coef_s.shape[0], nf), jnp.float32)
+            for _ in range(3)
+        ],
+        scratch_shapes=[pltpu.VMEM((blk, nf), jnp.float32) for _ in range(3)],
+        # the step body holds 9 d-planes + 9 t-planes + trig temps + the
+        # 3-pass bf16 operand splits — past Mosaic's default 16 MB scoped
+        # stack at (256, 512) tiles; give it real VMEM headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
+      dsc.p)
+    x = jnp.stack(outs, axis=-2)  # (rows', 3, nf)
+    return x[:rows]
+
+
+def decode_solve_fused(
+    coef_s: jnp.ndarray,
+    coef_r: jnp.ndarray,
+    dsc: DecodeSolveConsts,
+    consts: DeformConsts,
+    spec: SolverSpec,
+    cnst_verts: jnp.ndarray,
+    out_layout: str = "flat",
+    **kw,
+) -> jnp.ndarray:
+    """Full fused path: PCA coefficients → vertices in ``out_layout``."""
+    x = decode_solve_free(coef_s, coef_r, dsc, **kw)
+    return assemble_from_free(consts, spec, x, cnst_verts, out_layout)

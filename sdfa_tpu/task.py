@@ -377,7 +377,40 @@ class AnimationTask:
                 raw_pca = bool(model.using_pca and not model.return_pca)
                 chunkable = bool(model.using_pca)
 
-                def decode_solve(variables, consts, preds):
+                # fused Pallas decode+solve (ops/pallas_decode_solve.py):
+                # PCA coefficients → vertices in one kernel, ~25 GB of
+                # XLA-path intermediate traffic never materialized. Needs
+                # identity equations + coefficient preds; TPU inference
+                # (or the interpret test flag). SDFA_PALLAS_SOLVE=0 opts
+                # out. dsc rides the consts pack as a jit ARGUMENT —
+                # closing over its ~200 MB would embed it in the jaxpr.
+                from .nn.recurrent import _pallas_inference_eligible
+
+                dsc = None
+                if spec.identity_eq and model.using_pca and \
+                        _pallas_inference_eligible(False, "SDFA_PALLAS_SOLVE"):
+                    from .ops.pallas_decode_solve import prep_consts
+
+                    col = ("params" if model.pca_trainable else "constants")
+                    try:
+                        dsc = prep_consts(self.variables[col]["scale_pca"],
+                                          self.variables[col]["rotat_pca"],
+                                          consts, spec)
+                    except KeyError:
+                        dsc = None
+
+                def decode_solve(variables, consts_pack, preds):
+                    consts, dsc = consts_pack
+                    if dsc is not None and "dgrad_3d_scale_pca" in preds:
+                        from .nn import recurrent
+                        from .ops.pallas_decode_solve import decode_solve_fused
+
+                        return decode_solve_fused(
+                            preds["dgrad_3d_scale_pca"][:, 0],
+                            preds["dgrad_3d_rotat_pca"][:, 0],
+                            dsc, consts, spec, consts.template_cnst,
+                            out_layout="flat",
+                            interpret=recurrent._FREQ_FUSED_INTERPRET)
                     # k-major plane layout end to end: the decode's gather
                     # permutes for free and the solver slices contiguously
                     # (vs 9 stride-9 slices = a full-array transpose)
@@ -389,19 +422,19 @@ class AnimationTask:
                                     spec=spec, out_layout="flat",
                                     dgrad_layout="planes")
 
-                def fn(variables, consts, z_frames, frame_idx, spk):
+                def fn(variables, consts_pack, z_frames, frame_idx, spk):
                     preds, _, _ = model.apply(
                         variables, z_frames, frame_idx, spk, raw_pca=raw_pca,
                         method=SpeechDrivenAnimation.forward_windows)
                     n_w = frame_idx.shape[0]
                     dchunk = int(os.environ.get("SDFA_DECODE_CHUNK", 2048))
                     if not chunkable:
-                        return decode_solve(variables, consts, preds)
+                        return decode_solve(variables, consts_pack, preds)
                     return padded_chunk_map(
-                        lambda pr: decode_solve(variables, consts, pr),
+                        lambda pr: decode_solve(variables, consts_pack, pr),
                         preds, n_w, dchunk)
 
-                self._verts_base = (fn, consts)
+                self._verts_base = (fn, (consts, dsc))
             else:
                 from .viewer.frame import template
 

@@ -1,0 +1,135 @@
+"""Fused PCA-decode+solve Pallas kernel (ops/pallas_decode_solve.py):
+interpret-mode parity on CPU against the XLA planes path, on the real
+FLAME template operator."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdfa_tpu.ops import deform_solver
+from sdfa_tpu.ops.pallas_decode_solve import (decode_solve_free,
+                                              decode_solve_fused,
+                                              prep_consts)
+from sdfa_tpu.viewer import frame as frame_mod
+
+
+@pytest.fixture(scope="module")
+def setup():
+    solver = frame_mod.set_template_mesh()
+    consts, spec = solver.consts, solver.spec
+    rng = np.random.default_rng(5)
+    T = spec.n_tris
+    Ks, Kr = 12, 7
+    scale_sub = {
+        "compT": rng.normal(0, 0.01, (6 * T, Ks)).astype(np.float32),
+        "means": rng.normal(0, 0.005, (6 * T,)).astype(np.float32),
+    }
+    rotat_sub = {
+        "compT": rng.normal(0, 0.01, (3 * T, Kr)).astype(np.float32),
+        "means": rng.normal(0, 0.005, (3 * T,)).astype(np.float32),
+    }
+    dsc = prep_consts(scale_sub, rotat_sub, consts, spec)
+    return solver, consts, spec, scale_sub, rotat_sub, dsc, rng
+
+
+def _xla_reference(consts, spec, scale_sub, rotat_sub, coef_s, coef_r,
+                   out_layout="flat"):
+    """The committed XLA planes path: basis matmul (tri-major) → k-major
+    permutation → solve_fn(dgrad_layout='planes')."""
+    scale = coef_s @ scale_sub["compT"].T + scale_sub["means"]
+    rotat = coef_r @ rotat_sub["compT"].T + rotat_sub["means"]
+    T = spec.n_tris
+    planes = np.empty((coef_s.shape[0], 9 * T), np.float32)
+    j = np.arange(T)
+    for k in range(6):
+        planes[:, k * T + j] = scale[:, 6 * j + k]
+    for k in range(3):
+        planes[:, (6 + k) * T + j] = rotat[:, 3 * j + k]
+    return np.asarray(deform_solver.solve_fn(
+        consts, jnp.asarray(planes), consts.template_cnst, spec=spec,
+        out_layout=out_layout, dgrad_layout="planes"))
+
+
+def test_free_solution_matches_xla(setup):
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    rows = 20
+    coef_s = rng.normal(0, 1.0, (rows, 12)).astype(np.float32)
+    coef_r = rng.normal(0, 1.0, (rows, 7)).astype(np.float32)
+    out = np.asarray(decode_solve_fused(
+        jnp.asarray(coef_s), jnp.asarray(coef_r), dsc, consts, spec,
+        consts.template_cnst, out_layout="flat", interpret=True))
+    ref = _xla_reference(consts, spec, scale_sub, rotat_sub, coef_s, coef_r)
+    err = float(np.abs(out - ref).max())
+    # 3-pass-f32 matmuls both sides; fp reassociation across eq tiles only
+    assert err < 1e-5, err
+
+
+def test_row_padding_and_shapes(setup):
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    rows = 9  # not a block multiple
+    coef_s = rng.normal(0, 1.0, (rows, 12)).astype(np.float32)
+    coef_r = rng.normal(0, 1.0, (rows, 7)).astype(np.float32)
+    x = decode_solve_free(jnp.asarray(coef_s), jnp.asarray(coef_r), dsc,
+                          interpret=True)
+    assert x.shape == (rows, 3, spec.n_free)
+    ref = _xla_reference(consts, spec, scale_sub, rotat_sub, coef_s, coef_r,
+                         out_layout="3v")
+    full = np.asarray(deform_solver.assemble_from_free(
+        consts, spec, x, consts.template_cnst, "3v"))
+    assert float(np.abs(full - ref).max()) < 1e-5
+
+
+def test_generate_vertices_kernel_path_matches(setup):
+    """AnimationTask.generate_vertices through the fused kernel (interpret
+    flag) == the XLA path, same variables."""
+    from _assets import ensure_pca_assets
+
+    from sdfa_tpu.models import build_model
+    from sdfa_tpu.nn import recurrent
+    from sdfa_tpu.task import AnimationTask
+    from sdfa_tpu.tools import configure
+
+    hp = configure("dgrad", dataset_root=ensure_pca_assets())
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((2, 64, 128, 3), jnp.float32),
+                           jnp.zeros((2,), jnp.int32), False)
+    sr = int(hp.audio.sample_rate)
+    t = np.arange(int(0.9 * sr)) / sr
+    sig = (0.3 * np.sin(2 * np.pi * 155 * t)
+           * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+
+    task = AnimationTask(hp, model, variables, device_frontend=True,
+                         overlap_frontend=True)
+    ts_ref, verts_ref = task.generate_vertices(sig, speaker=0)
+    assert task._verts_base[1][1] is None  # XLA path on CPU by default
+
+    recurrent._FREQ_FUSED_INTERPRET = True
+    try:
+        task2 = AnimationTask(hp, model, variables, device_frontend=True,
+                              overlap_frontend=True)
+        ts2, verts2 = task2.generate_vertices(sig, speaker=0)
+        assert task2._verts_base[1][1] is not None  # fused kernel engaged
+    finally:
+        recurrent._FREQ_FUSED_INTERPRET = False
+    assert list(ts2) == list(ts_ref)
+    err = float(np.abs(np.asarray(verts2) - np.asarray(verts_ref)).max())
+    # forward runs the fused LSTM kernels too under the flag; everything
+    # is 3-pass-f32 on both sides
+    assert err < 1e-4, err
+
+
+def test_zero_coeffs_give_mean_shape(setup):
+    """coef=0 → dgrad = means; kernel must agree with solve of the means."""
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    coef_s = np.zeros((8, 12), np.float32)
+    coef_r = np.zeros((8, 7), np.float32)
+    out = np.asarray(decode_solve_fused(
+        jnp.asarray(coef_s), jnp.asarray(coef_r), dsc, consts, spec,
+        consts.template_cnst, out_layout="flat", interpret=True))
+    ref = _xla_reference(consts, spec, scale_sub, rotat_sub, coef_s, coef_r)
+    assert float(np.abs(out - ref).max()) < 1e-5
+    assert np.allclose(out[0], out[5])
