@@ -290,12 +290,19 @@ class AnimationTask:
         speaker,
         emotion=0,
         ensembling_ms: Optional[float] = None,
+        wire: str = "f32",
     ):
         """signal → (tslist, verts (W, 5023, 3)): the serving-meshes fast
         path. The anime decode AND the deformation solve stay on device;
         only vertices cross back to the host — 6× less transfer than
         returning dgrad frames and re-uploading them to solve
         (viewer.frames_to_meshes does exactly that round-trip).
+
+        ``wire="i16"`` downloads device-quantized int16 (WIRE_LSB = 1e-5 m
+        per LSB, the StreamingServer's wire format) and dequantizes on the
+        host — halves the device→host bytes, which is the measured ceiling
+        of link-bound serving (DESIGN.md §12.3); error ≤ 5e-6 m. Returned
+        dtype is float32 metres either way.
 
         Falls back to generate_animation + frames_to_meshes when the
         overlap frontend is off or ensembling is requested (both paths are
@@ -315,12 +322,15 @@ class AnimationTask:
         if isinstance(speaker, str):
             speaker = dict(self.hp.dataset_anime.speakers)[speaker]
         frame_idx, ts_list, z_frames, _ = self._overlap_prefix(signal)
-        fn, consts = self._get_verts_fn()
+        fn, consts = self._get_verts_fn(wire)
         chunks = []
         for chunk, keep in self._window_chunks(frame_idx):
             spk = jnp.full((len(chunk),), speaker, jnp.int32)
             flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
-            chunks.append(np.asarray(flat[:keep]))
+            host = np.asarray(flat[:keep])
+            if wire == "i16":
+                host = host.astype(np.float32) * WIRE_LSB
+            chunks.append(host)
         verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
         return ts_list, verts
 

@@ -204,6 +204,23 @@ class TestGenerateVertices:
         ts, verts = task_exact.generate_vertices(sig, 0)
         assert verts.shape[1:] == (5023, 3) and np.isfinite(verts).all()
 
+    def test_i16_wire_matches_f32(self, shipped_task):
+        """generate_vertices(wire='i16') (device-quantized int16 download,
+        the StreamingServer wire format) == the f32 wire within the
+        WIRE_LSB/2 = 5e-6 m quantization bound, dequantized to float32."""
+        from sdfa_tpu.task import WIRE_LSB
+
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 150 * t)
+               * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        ts_f, verts_f = task.generate_vertices(sig, 0)
+        ts_q, verts_q = task.generate_vertices(sig, 0, wire="i16")
+        assert ts_f == ts_q
+        assert verts_q.dtype == np.float32
+        assert np.abs(verts_q - verts_f).max() <= WIRE_LSB / 2 + 1e-7
+
     def test_chunked_decode_solve_matches_whole(self, shipped_task, monkeypatch):
         """SDFA_DECODE_CHUNK-bounded lax.map decode+solve (the long-clip
         HBM guard) == the single-batch path, exactly."""
