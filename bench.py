@@ -143,13 +143,14 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     trained_vars = jax.tree_util.tree_map(jnp.asarray, variables)
     if dsc is not None:
         # the fused-solve consts bake in the PCA bases — rebuild from the
-        # TRAINED constants (same shapes → the compiled pipeline is reused)
+        # TRAINED tree (same shapes → the compiled pipeline is reused);
+        # same column selection as task.py (trainable PCA lives in params)
         from sdfa_tpu.ops.pallas_decode_solve import prep_consts
-        from sdfa_tpu.viewer import frame as frame_mod2
 
-        solver2 = frame_mod2.get_solver()
-        dsc = prep_consts(trained_vars["constants"]["scale_pca"],
-                          trained_vars["constants"]["rotat_pca"],
+        solver2 = frame_mod.get_solver()
+        pca_col = "params" if model.pca_trainable else "constants"
+        dsc = prep_consts(trained_vars[pca_col]["scale_pca"],
+                          trained_vars[pca_col]["rotat_pca"],
                           solver2.consts, solver2.spec)
 
     # trained throughput can exhaust HBM when phase-1 buffers linger (the
@@ -187,6 +188,12 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     t0 = time.perf_counter()
     _, verts_fused = task.generate_vertices(signal, 0)
     fused_warm_s = time.perf_counter() - t0
+    # int16 wire (the StreamingServer format): halves the download that
+    # dominates single-clip serving on a slow link; quant err <= 5e-6 m
+    _ = task.generate_vertices(signal, 0, wire="i16")  # compile
+    t0 = time.perf_counter()
+    _ = task.generate_vertices(signal, 0, wire="i16")
+    fused_i16_s = time.perf_counter() - t0
     solver = frame_mod.get_solver()  # reuses the already-built template
     idx = np.linspace(0, len(animes) - 1, 8).astype(int)
     dg = np.asarray(animes[idx], np.float32).reshape(len(idx), -1, 9)
@@ -203,6 +210,7 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
         # single-clip serving latency through the fused path, incl. the
         # tunnel RTT + vertex download (warm = compiled); informational
         "serving_clip_x_realtime": round(len(signal) / sr / fused_warm_s, 2),
+        "serving_clip_x_realtime_i16": round(len(signal) / sr / fused_i16_s, 2),
         "serving_first_call_s": round(fused_cold_s, 2),
         "train_steps": steps,
         "frames_checked": int(len(idx)),
@@ -320,17 +328,20 @@ def main():
 
     # fused Pallas decode+solve consts (k-major bases + padded P) — a jit
     # ARGUMENT, never a closure (200 MB embedded constant otherwise)
-    use_fused_solve = (spec.identity_eq
+    use_fused_solve = (spec.identity_eq and model.using_pca
                        and os.environ.get("SDFA_PALLAS_SOLVE", "auto") != "0"
                        and jax.default_backend() == "tpu")
+    dsc = None
     if use_fused_solve:
         from sdfa_tpu.ops.pallas_decode_solve import (decode_solve_fused,
                                                       prep_consts)
 
-        dsc = prep_consts(variables["constants"]["scale_pca"],
-                          variables["constants"]["rotat_pca"], consts, spec)
-    else:
-        dsc = None
+        pca_col = "params" if model.pca_trainable else "constants"
+        try:
+            dsc = prep_consts(variables[pca_col]["scale_pca"],
+                              variables[pca_col]["rotat_pca"], consts, spec)
+        except KeyError:
+            dsc = None
 
     def stage2_fn(variables, consts, dsc, z_flat, idx_all):
         """Window suffix + PCA decode + deformation solve per group, all the

@@ -19,9 +19,13 @@ in VMEM per (row-block × eq-tile) step:
 3. solve: acc[dd] += Σ_c t[dd][c] @ P[c]-tile, accumulated across eq
    tiles in VMEM; the (row, 3, n_free) result is written once.
 
-HBM traffic per call: coefficients (9 MB) + bases (42 MB) + P operator
-(~160 MB) + output (~135 MB) ≈ 0.35 GB — vs ~25 GB for the XLA chain
-(dgrad planes + transform planes, each written and re-read). All matmuls
+HBM traffic per call at W=8832 (blk=512 → 18 row blocks): the P operator
+(~160 MB) and bases (~42 MB) re-stream once per ROW BLOCK (their block
+index rides the inner eq-tile loop), so ≈ 18 × 0.2 GB + output ≈ 3.8 GB
+— vs ~25 GB for the XLA chain (dgrad planes + transform planes, each
+written and re-read), and fully overlappable with the MXU work (the
+kernel is compute-bound; see DESIGN.md §12.4). Halving block_rows
+doubles the P traffic — the re-stream term scales 1/blk. All matmuls
 accumulate f32 via the 3-pass bf16 hi/lo split (``_dot_f32``), matching
 lax.Precision.HIGH.
 
@@ -92,14 +96,17 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
 
 
 def _kernel(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
-            o0, o1, o2, acc0, acc1, acc2, *, n_eq_tiles: int, precise: bool):
+            o0, o1, o2, *, precise: bool):
+    # the output blocks are j-invariant (index map (i, 0)), so they stay
+    # VMEM-resident across the inner eq-tile loop — accumulate into them
+    # directly (the standard pallas matmul pattern), no scratch needed
     j = pl.program_id(1)
+    outs = (o0, o1, o2)
 
     @pl.when(j == 0)
     def _():
-        acc0[:] = jnp.zeros_like(acc0)
-        acc1[:] = jnp.zeros_like(acc1)
-        acc2[:] = jnp.zeros_like(acc2)
+        for o in outs:
+            o[:] = jnp.zeros_like(o)
 
     d = [
         _dot_f32(coef_s[:], basis_s[:, k, :], precise) + means_s[k:k + 1, :]
@@ -109,18 +116,11 @@ def _kernel(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
         for k in range(3)
     ]
     t = transform_entries_from_planes(d)
-    accs = (acc0, acc1, acc2)
     for dd in range(3):
-        val = (_dot_f32(t[dd][0], p[0], precise)
-               + _dot_f32(t[dd][1], p[1], precise)
-               + _dot_f32(t[dd][2], p[2], precise))
-        accs[dd][:] = accs[dd][:] + val
-
-    @pl.when(j == n_eq_tiles - 1)
-    def _():
-        o0[:] = acc0[:]
-        o1[:] = acc1[:]
-        o2[:] = acc2[:]
+        outs[dd][:] = outs[dd][:] + (
+            _dot_f32(t[dd][0], p[0], precise)
+            + _dot_f32(t[dd][1], p[1], precise)
+            + _dot_f32(t[dd][2], p[2], precise))
 
 
 @functools.lru_cache(maxsize=None)
@@ -179,8 +179,7 @@ def _decode_solve_impl(
         coef_r = jnp.pad(coef_r, ((0, pad), (0, 0)))
     nb = coef_s.shape[0] // blk
 
-    kernel = functools.partial(_kernel, n_eq_tiles=n_eq_tiles,
-                               precise=precise)
+    kernel = functools.partial(_kernel, precise=precise)
     outs = pl.pallas_call(
         kernel,
         grid=(nb, n_eq_tiles),
@@ -200,7 +199,6 @@ def _decode_solve_impl(
             jax.ShapeDtypeStruct((coef_s.shape[0], nf), jnp.float32)
             for _ in range(3)
         ],
-        scratch_shapes=[pltpu.VMEM((blk, nf), jnp.float32) for _ in range(3)],
         # the step body holds 9 d-planes + 9 t-planes + trig temps + the
         # 3-pass bf16 operand splits — past Mosaic's default 16 MB scoped
         # stack at (256, 512) tiles; give it real VMEM headroom

@@ -309,11 +309,15 @@ class AnimationTask:
         asserted equal in tests/test_task.py)."""
         from .viewer import frame as frame_mod
 
+        if wire not in ("f32", "i16"):
+            raise ValueError(f"unknown wire format {wire!r}")
         face_type = self.hp.model.face_data_type
         if ensembling_ms is None:
             ensembling_ms = self.hp.get("ensembling_ms", 0)
         if not self.overlap_frontend or (ensembling_ms and ensembling_ms > 0) \
                 or face_type not in ("dgrad_3d", "verts_off_3d", "verts_pos_3d"):
+            # fallback downloads anime frames, not vertices — the i16
+            # vertex wire doesn't apply here (f32 result either way)
             tslist, animes, _ = self.generate_animation(
                 signal, speaker, emotion, ensembling_ms=ensembling_ms)
             verts, _ = frame_mod.frames_to_meshes(animes, face_type)
