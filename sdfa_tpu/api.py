@@ -21,7 +21,6 @@ from .data import DatasetSlidingWindow
 from .models import build_model
 from .task import AnimationTask
 from .tools import configure
-from .utils import log
 from .train import Experiment, Trainer, checkpoints as ckpt_io
 from .utils import ArgumentParser, log
 from .utils.filesystem import maybe_in_dirs
@@ -266,7 +265,7 @@ def _is_torch_checkpoint(path: str) -> bool:
     0x80); msgpack maps start with 0x8x/0xde/0xdf."""
     with open(path, "rb") as fp:
         head = fp.read(2)
-    return head[:2] == b"PK" or (len(head) > 0 and head[0] == 0x80
+    return head[:2] == b"PK" or (len(head) == 2 and head[0] == 0x80
                                  and head[1] in (2, 3, 4, 5))
 
 

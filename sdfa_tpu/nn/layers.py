@@ -77,6 +77,14 @@ class _Ext(nn.Module):
     def _apply_bn(self, bn, x, training: bool):
         return bn(x, use_running_average=not training)
 
+    def has_ext_extras(self) -> bool:
+        """True if any pre/post activation, batch-norm, or dropout extra
+        is configured — paths that bypass ext_prev/ext_post (fused-kernel
+        return_params) must assert this is False."""
+        return any(v is not None and v is not False and v != 0 for v in (
+            self.prev_activation, self.prev_batch_norm, self.prev_dropout,
+            self.activation, self.batch_norm, self.dropout))
+
     def _drop(self, x, rate, always, training: bool):
         if not rate:
             return x
@@ -163,7 +171,15 @@ class FullyConnected(_Ext):
         # tree unchanged) and hand them to the caller instead of computing;
         # used by fused kernels. Only valid without ext (act/bn) extras,
         # whose parameters would not be created on this path.
-        if not return_params:
+        if return_params:
+            # loud, not silent: an ext extra on this path would mean
+            # missing BN/act params vs the scan path's checkpoint tree
+            # and silently-skipped math in the fused consumer
+            assert not self.has_ext_extras(), (
+                "return_params=True (fused-kernel path) cannot carry "
+                f"pre/post act/bn/dropout extras: {self}"
+            )
+        else:
             shape = x.shape
             x = x.reshape(-1, shape[-1])
             x = self.ext_prev(x, training)

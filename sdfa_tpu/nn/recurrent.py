@@ -206,7 +206,12 @@ class LSTM(_RNNBase):
             # inference on single-chip TPU, the fused Pallas layer kernel
             # (both directions in one VMEM-resident program,
             # ops/pallas_bilstm.py; in_size must be lane-aligned).
+            # in_size AND hidden must be lane-aligned: the kernel slices
+            # gate columns at multiples of hidden on the 128-lane axis
+            # (Mosaic rejects unaligned lane slices at compile time —
+            # fall back to the scan path instead of failing at serving)
             fused = (dirs == 2 and not return_params and in_size % 128 == 0
+                     and self.hidden_size % 128 == 0
                      and _pallas_inference_eligible(training,
                                                     "SDFA_PALLAS_BILSTM"))
             outs = []
@@ -289,6 +294,12 @@ class FreqLstm(nn.Module):
         path, parity 1.2e-5 — DESIGN.md §9); SDFA_PALLAS_FREQ_LSTM=0
         opts out."""
         return (self.mode == "full"
+                # kernel alignment: gate columns slice the 128-lane axis
+                # at multiples of hidden; the (C, blk) input DMA tile puts
+                # channels on sublanes (8-aligned) — unaligned configs
+                # fall back to the scan path rather than failing Mosaic
+                and self.hidden_size % 128 == 0
+                and self.input_size % 8 == 0
                 and _pallas_inference_eligible(training,
                                                "SDFA_PALLAS_FREQ_LSTM"))
 

@@ -162,40 +162,60 @@ class ServeApp:
     # -- tick thread ------------------------------------------------------
     def _tick_loop(self) -> None:
         while not self._stop.is_set():
-            with self.lock:
-                live = self.srv.live()
-                emitted = self.srv.tick() if live else {}
-                done = [sid for sid in live if self.srv.is_done(sid)]
-                targets = []  # route under the lock, send outside it
-                for sid, frames in emitted.items():
-                    client = self.owner.get(sid)
-                    if client is not None and client.alive and frames:
-                        targets.append((client, sid, frames))
-                for sid in done:
-                    client = self.owner.get(sid)
-                    if client is not None and client.alive:
-                        targets.append((client, sid, None))  # done marker
-                    self.srv.close(sid)
-                    if client is not None:
-                        client.sids.discard(sid)
-                    self.owner.pop(sid, None)
-            progressed = False
-            for client, sid, frames in targets:
-                if frames is None:
-                    client.outbox.put(({"op": "done", "sid": sid}, b""))
-                else:
-                    progressed = True
-                    ts = [float(t) for t, _ in frames]
-                    verts = np.stack([v for _, v in frames])
-                    client.outbox.put((
-                        {"op": "frames", "sid": sid, "ts": ts,
-                         "shape": list(verts.shape[1:])},
-                        np.ascontiguousarray(verts, np.float32).tobytes()))
-            if not progressed:
-                # nothing emitted: park until a client acts (or timeout —
-                # flushed streams may still have windows to drain)
-                self._wake.wait(timeout=self.idle_sleep if live else 0.25)
+            try:
+                self._tick_once()
+            except Exception as exc:  # noqa: BLE001 — the tick thread must
+                # survive transient device errors (XLA RESOURCE_EXHAUSTED,
+                # remote-compile hiccups): a dead tick thread would leave a
+                # service that accepts connections but never emits frames,
+                # with every client parked in frames() forever. Report to
+                # all live clients and keep ticking.
+                log.error(f"tick failed: {type(exc).__name__}: {exc}")
+                with self.lock:
+                    clients = {c for c in self.owner.values() if c is not None}
+                for client in clients:
+                    if client.alive:
+                        client.outbox.put((
+                            {"op": "error",
+                             "msg": f"tick failed: {exc}"}, b""))
+                self._wake.wait(timeout=1.0)
                 self._wake.clear()
+
+    def _tick_once(self) -> None:
+        with self.lock:
+            live = self.srv.live()
+            emitted = self.srv.tick() if live else {}
+            done = [sid for sid in live if self.srv.is_done(sid)]
+            targets = []  # route under the lock, send outside it
+            for sid, frames in emitted.items():
+                client = self.owner.get(sid)
+                if client is not None and client.alive and frames:
+                    targets.append((client, sid, frames))
+            for sid in done:
+                client = self.owner.get(sid)
+                if client is not None and client.alive:
+                    targets.append((client, sid, None))  # done marker
+                self.srv.close(sid)
+                if client is not None:
+                    client.sids.discard(sid)
+                self.owner.pop(sid, None)
+        progressed = False
+        for client, sid, frames in targets:
+            if frames is None:
+                client.outbox.put(({"op": "done", "sid": sid}, b""))
+            else:
+                progressed = True
+                ts = [float(t) for t, _ in frames]
+                verts = np.stack([v for _, v in frames])
+                client.outbox.put((
+                    {"op": "frames", "sid": sid, "ts": ts,
+                     "shape": list(verts.shape[1:])},
+                    np.ascontiguousarray(verts, np.float32).tobytes()))
+        if not progressed:
+            # nothing emitted: park until a client acts (or timeout —
+            # flushed streams may still have windows to drain)
+            self._wake.wait(timeout=self.idle_sleep if live else 0.25)
+            self._wake.clear()
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -213,7 +233,11 @@ class _Handler(socketserver.BaseRequestHandler):
                 header, payload = msg
                 try:
                     self._dispatch(app, client, header, payload)
-                except (KeyError, RuntimeError, AssertionError) as exc:
+                except Exception as exc:  # noqa: BLE001 — a malformed
+                    # request (bad payload size → ValueError, non-int sid
+                    # → TypeError, ...) must get a protocol error reply,
+                    # not tear down the connection and every other live
+                    # stream multiplexed on it
                     client.outbox.put(({"op": "error", "msg": str(exc)}, b""))
         finally:
             app.drop_client(client)

@@ -113,7 +113,7 @@ class StreamingSession:
 
         # task-level cached jits (one compile per task + block size, not
         # per session — live services create a session per utterance)
-        self._fused_first, self._fused_steady, _ = task._get_stream_fns(
+        self._fused_first, self._fused_steady = task._get_stream_fns(
             self.BLOCK)
         self._verts_fn, self._consts = task._get_verts_fn()
 
@@ -358,7 +358,7 @@ class StreamingServer:
 
         # ring dtype/feature shape via shape-only evaluation of the
         # single-stream block fn (no compile, no device work)
-        fused_first, _, _ = task._get_stream_fns(self.BLOCK)
+        fused_first, _ = task._get_stream_fns(self.BLOCK)
         _, z_aval = jax.eval_shape(
             fused_first, task.variables,
             jax.ShapeDtypeStruct((_block_samples(s, self.BLOCK),),
@@ -385,6 +385,11 @@ class StreamingServer:
         slot = self._slot(sid)
         assert not slot.flushing, "stream already flushed"
         samples = np.asarray(samples, np.float32).flatten()
+        # same contract as StreamingSession.push — unnormalized audio
+        # (e.g. int16-scale) would silently saturate the mel frontend
+        assert samples.size == 0 or (
+            samples.min() >= -1 and samples.max() <= 1), \
+            "samples must be normalized to [-1, 1]"
         slot.sig = np.concatenate([slot.sig, samples])
         slot.n_real += len(samples)
 

@@ -10,6 +10,7 @@ padded, not re-traced), features computed per clip, PCA decode on device.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 from typing import Dict, Optional, Tuple
@@ -500,6 +501,25 @@ class AnimationTask:
 
         return band_ops
 
+    @staticmethod
+    def _mel_block_part(s, pre, carry, K1j, K2j, center0, n_out):
+        """Shared streaming-frontend piece (one per-block device step):
+        pre-padded block signal + 8-frame mel carry → (new 8-frame mel
+        tail, (n_out, M, 3) mel+Δ+Δ² features). Used by both the
+        single-session fused block fns (_get_stream_fns) and the server's
+        ring fns (_get_ring_fns) so their frontend math cannot diverge."""
+        from .audio import dsp
+        from .audio.pipeline import mel_from_frames
+        from .nn.precision import OPS_PREC as _SPREC
+
+        frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
+        mel = mel_from_frames(frames, s)  # shared frontend math
+        ctx = jnp.concatenate([carry, mel])  # (B+8, M)
+        d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
+        d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
+        center = ctx[center0 : center0 + n_out]
+        return ctx[-8:], jnp.stack([center, d1, d2], axis=-1)
+
     def _get_stream_fns(self, block_frames: int):
         """(fused_first_fn, fused_steady_fn) for StreamingSession — ONE
         device call per block: mel frontend + band Savitzky-Golay Δ/Δ² +
@@ -507,7 +527,8 @@ class AnimationTask:
         between calls (device-resident, never downloaded). Halves the
         per-block round-trips vs separate mel/encode calls — the dominant
         cost on RTT-bound hosts. Cached per (task, block_frames); jit
-        retraces nothing across sessions.
+        retraces nothing across sessions. (StreamingServer uses
+        _get_ring_fns — the pool variant with a device-resident z ring.)
 
         fn(variables, pre_block, mel_carry (8, M)) →
         (mel_tail (8, M), z (n_out, D)); the first-block variant applies
@@ -517,9 +538,6 @@ class AnimationTask:
         if self._stream_jits is None:
             self._stream_jits = {}
         if block_frames not in self._stream_jits:
-            from .audio import dsp
-            from .nn.precision import OPS_PREC as _SPREC
-
             s = self._wspec()
             model = self.model
             B = int(block_frames)
@@ -530,60 +548,17 @@ class AnimationTask:
                 K1j, K2j = jnp.asarray(K1), jnp.asarray(K2)
 
                 def fused(variables, pre, carry):
-                    from .audio.pipeline import mel_from_frames
-
-                    frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-                    mel = mel_from_frames(frames, s)  # shared frontend math
-                    ctx = jnp.concatenate([carry, mel])  # (B+8, M)
-                    d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
-                    d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
-                    center = ctx[center0 : center0 + n_out]
-                    feats = jnp.stack([center, d1, d2], axis=-1)
+                    tail, feats = self._mel_block_part(
+                        s, pre, carry, K1j, K2j, center0, n_out)
                     z = model.apply(
                         variables, feats,
                         method=SpeechDrivenAnimation.encode_frames)
-                    return ctx[-8:], z
+                    return tail, z
 
                 return jax.jit(fused)
 
-            def make_batched_steady():
-                """Pool variant for StreamingServer: N streams' blocks in
-                one call. The mel frontend + band Δ/Δ² vmap per stream
-                (pure matmuls), then the per-frame encoder prefix runs on
-                the FLATTENED (N·B)-frame batch — not under vmap, so the
-                fused Pallas FreqLstm lowers (a vmapped pallas_call with
-                ANY-space operands cannot), and the freq scan steps with
-                N·B rows instead of per-stream slivers. Masked slots keep
-                their mel-tail carry."""
-                K1, K2, center0, n_out = band_ops(False)
-                K1j, K2j = jnp.asarray(K1), jnp.asarray(K2)
-
-                def mel_part(pre, carry):
-                    from .audio.pipeline import mel_from_frames
-
-                    frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-                    mel = mel_from_frames(frames, s)
-                    ctx = jnp.concatenate([carry, mel])  # (B+8, M)
-                    d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
-                    d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
-                    center = ctx[center0 : center0 + n_out]
-                    return ctx[-8:], jnp.stack([center, d1, d2], axis=-1)
-
-                def batched(variables, blocks, carries, mask):
-                    tails, feats = jax.vmap(mel_part)(blocks, carries)
-                    flat = feats.reshape((-1,) + feats.shape[2:])
-                    z = model.apply(
-                        variables, flat,
-                        method=SpeechDrivenAnimation.encode_frames)
-                    z = z.reshape((blocks.shape[0], n_out) + z.shape[1:])
-                    new_carries = jnp.where(mask[:, None, None], tails, carries)
-                    return new_carries, z
-
-                return jax.jit(batched)
-
             self._stream_jits[block_frames] = (make_fused(True),
-                                               make_fused(False),
-                                               make_batched_steady())
+                                               make_fused(False))
         return self._stream_jits[block_frames]
 
     def _get_ring_fns(self, block_frames: int, ring_len: int, capacity: int):
@@ -609,24 +584,11 @@ class AnimationTask:
         """
         key = (int(block_frames), int(ring_len), int(capacity))
         if key not in self._ring_jits:
-            from .audio import dsp
-            from .nn.precision import OPS_PREC as _SPREC
-
             s = self._wspec()
             model = self.model
             B, R, N = key
             band_ops = self._band_ops(B)
-
-            def mel_part(pre, carry, K1j, K2j, center0, n_out):
-                from .audio.pipeline import mel_from_frames
-
-                frames = dsp.frame_signal(pre, s.win_size, s.hop_size)
-                mel = mel_from_frames(frames, s)
-                ctx = jnp.concatenate([carry, mel])  # (B+8, M)
-                d1 = jnp.matmul(ctx.T, K1j, precision=_SPREC).T
-                d2 = jnp.matmul(ctx.T, K2j, precision=_SPREC).T
-                center = ctx[center0 : center0 + n_out]
-                return ctx[-8:], jnp.stack([center, d1, d2], axis=-1)
+            mel_part = functools.partial(self._mel_block_part, s)
 
             K1f, K2f, c0f, n_first = band_ops(True)
             K1fj, K2fj = jnp.asarray(K1f), jnp.asarray(K2f)
@@ -652,8 +614,9 @@ class AnimationTask:
                 )(blocks, carries)
                 # encoder prefix on the FLATTENED (N·B)-frame batch — the
                 # prefix is per-frame by construction, and the fused Pallas
-                # FreqLstm cannot lower under vmap (same reasoning as
-                # _get_stream_fns.make_batched_steady)
+                # FreqLstm cannot lower under vmap (a vmapped pallas_call
+                # with ANY-space operands); flattening also steps the freq
+                # scan with N·B rows instead of per-stream slivers
                 flat = feats.reshape((-1,) + feats.shape[2:])
                 z = model.apply(variables, flat,
                                 method=SpeechDrivenAnimation.encode_frames)
