@@ -126,8 +126,51 @@ class RefSolver:
         return out
 
 
+def _ours_on_same_cpu(signal, seconds, pca_root):
+    """Our pipeline on the SAME backend the reference just ran on (the host
+    CPU, via XLA:CPU) — the only same-hardware comparison possible in this
+    image. Random-init weights like the reference leg (timing is
+    weight-independent); the architecture is the one we serve with
+    (fused on-device frontend + overlap prefix + batched decode/solve)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdfa_tpu.models import build_model
+    from sdfa_tpu.task import AnimationTask
+    from sdfa_tpu.tools import configure
+
+    hp = configure("dgrad", dataset_root=pca_root)
+    model = build_model(hp, load_pca=True)
+    rng = jax.random.PRNGKey(0)
+    feat0 = jnp.zeros((2, 64, 128, 3), jnp.float32)
+    spk0 = jnp.zeros((2,), jnp.int32)
+    variables = jax.device_get(
+        model.init({"params": rng, "dropout": rng}, feat0, spk0, False))
+    task = AnimationTask(hp, model, variables,
+                         device_frontend=True, overlap_frontend=True)
+    _ = task.generate_vertices(signal, 0)  # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, verts = task.generate_vertices(signal, 0)
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2]
+    assert np.isfinite(verts).all()
+    return {
+        "x_realtime": round(seconds / dt, 2),
+        "seconds_per_run": round(dt, 3),
+        "backend": jax.default_backend(),
+    }
+
+
 def main():
     seconds = float(sys.argv[1]) if len(sys.argv) > 1 else 8.0
+
+    # the image pins jax_platforms to "axon,cpu"; this tool is a host-CPU
+    # baseline and must not touch (or hang on) the TPU tunnel
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     import torch
 
@@ -203,6 +246,15 @@ def main():
     ident_err = float(np.abs(recon - verts.reshape(-1, 3)).max())
     assert ident_err < 1e-4, f"reference solver self-check failed: {ident_err}"
 
+    # --- ours, same host CPU (same-hardware comparison) ------------------
+    ours = None
+    if os.environ.get("HTH_OURS_CPU", "1") == "1":
+        try:
+            ours = _ours_on_same_cpu(signal, seconds, pca_root)
+        except Exception as e:  # never sink the reference measurement
+            print(f"[headtohead] ours-on-cpu skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+
     total = t_feat + t_forward + t_solve
     result = {
         "metric": "reference_cpu_wav_to_vertices",
@@ -223,6 +275,7 @@ def main():
             "solve_per_frame_lu": round(seconds / t_solve, 2),
         },
         "solver_identity_recon_err_m": ident_err,
+        "ours_same_cpu": ours,
         "host": {
             "cpus": os.cpu_count(),
             "torch_threads": __import__("torch").get_num_threads(),
