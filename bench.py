@@ -86,6 +86,70 @@ def _formant_utterance(sr: int, seconds: float = 3.0) -> np.ndarray:
     return np.clip(out, -1.0, 1.0).astype(np.float32)
 
 
+def _train_throughput(root: str) -> dict:
+    """Device train-step timing (fwd + bwd + Adam) on the synthetic dataset.
+
+    Same config as the realism training run (incl. pca_targets), so the
+    jitted step is a persistent-cache hit, not a fresh multi-minute
+    compile. Reports the device-resident step and the step including the
+    host→device batch upload (the tunnel-bound number a host-attached
+    deployment would not pay; DESIGN.md §11)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdfa_tpu.data import DatasetSlidingWindow
+    from sdfa_tpu.models import build_model
+    from sdfa_tpu.tools import configure
+    from sdfa_tpu.train import Experiment
+
+    hp = configure("dgrad", dataset_root=root,
+                   overrides=dict(trainer=dict(pca_targets=True)))
+    train_set = DatasetSlidingWindow(hp, training=True)
+    model = build_model(hp, load_pca=True)
+    exp = Experiment(hp, model, log_dir="/tmp/bench_train_bench", training=True)
+    bs = int(hp.trainer.anime_loader.batch_size)
+    batch_host = next(iter(train_set.raw_batches(bs)))
+    n_windows = max(np.shape(v)[0] for v in jax.tree_util.tree_leaves(batch_host)
+                    if np.ndim(v) > 0)
+    batch = exp.put_batch(batch_host)
+    lr, b1 = exp.current_lr(0)
+    lr = jnp.asarray(lr)
+    b1 = jnp.asarray(b1)
+    rng = jax.random.fold_in(exp.rng_base, 0)
+    state = exp.state
+
+    def sync(state, metrics):
+        # device_get is the only trustworthy completion barrier over the
+        # tunnel; a param slice covers the Adam update, not just the loss
+        jax.device_get(metrics)
+        _ = np.asarray(jnp.ravel(
+            jax.tree_util.tree_leaves(state.params)[0])[:1])
+
+    state, metrics = exp.train_step_fn(state, batch, rng, lr, b1)  # warmup
+    sync(state, metrics)
+
+    def timed(upload: bool,
+              n: int = int(os.environ.get("BENCH_TRAIN_ITERS", 10))) -> float:
+        nonlocal state
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            b = exp.put_batch(batch_host) if upload else batch
+            state, metrics = exp.train_step_fn(state, b, rng, lr, b1)
+            sync(state, metrics)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
+
+    dt_dev = timed(upload=False)
+    dt_up = timed(upload=True)
+    return {
+        "train_step_ms_device": round(dt_dev * 1e3, 1),
+        "train_step_ms_incl_upload": round(dt_up * 1e3, 1),
+        "train_windows_per_s_device": round(n_windows / dt_dev, 1),
+        "train_batch_windows": int(n_windows),
+    }
+
+
 def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     """Train a checkpoint CI-fashion on the synthetic dataset, run the full
     trained pipeline on a synthesized utterance, and report the max
@@ -201,7 +265,16 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     for i in range(len(idx)):
         verts_host = solver.solve_host(dg[i].astype(np.float64))
         err = max(err, float(np.abs(verts_fused[idx[i]] - verts_host).max()))
+    task = None  # free the serving working set before the train-step phase
+    train_stats = {}
+    if os.environ.get("BENCH_TRAIN_BENCH", "1") == "1":
+        try:
+            train_stats = _train_throughput(root)
+        except Exception as e:  # never sink the realism line
+            print(f"[bench] train-throughput sub-step skipped: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
     return {
+        **train_stats,
         "metric": "trained_e2e_max_vertex_err_vs_host_f64",
         "value": err,
         "unit": "meters",
@@ -217,8 +290,39 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     }
 
 
+def _wait_for_backend(attempts: int = 8, sleep_s: float = 45.0) -> None:
+    """Probe TPU backend init in a SUBPROCESS and retry on failure.
+
+    The axon tunnel occasionally drops for a few minutes; an in-process
+    init failure is cached by jax.xla_bridge for the process lifetime, so
+    probing in a child keeps this process clean until the tunnel answers.
+    Gives up (and lets the in-process init raise the real error) after
+    ``attempts`` tries so a genuinely dead tunnel still fails loudly.
+    """
+    import subprocess
+
+    probe = "import jax; jax.devices()"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                               capture_output=True)
+            if r.returncode == 0:
+                return
+            msg = (r.stderr or b"").decode(errors="replace").strip()[-200:]
+        except subprocess.TimeoutExpired:
+            msg = "probe timed out after 240s"
+        if i + 1 < attempts:
+            print(f"[bench] TPU backend probe {i + 1}/{attempts} failed "
+                  f"({msg}); retrying in {sleep_s:.0f}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(sleep_s)
+
+
 def main():
     import jax
+
+    if os.environ.get("BENCH_WAIT_BACKEND", "1") == "1":
+        _wait_for_backend()
 
     # persistent compilation cache: the driver's bench run should not pay
     # the multi-minute TPU compile more than once
