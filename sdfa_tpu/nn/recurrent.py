@@ -33,6 +33,21 @@ _USE_PALLAS = _os.environ.get("SDFA_PALLAS_LSTM", "0") == "1"
 # tests set this to run the fused Pallas kernels in interpret mode on CPU
 _FREQ_FUSED_INTERPRET = False
 
+# tests set this to run the fused TRAINING core in interpret mode on CPU
+_TRAIN_FUSED_INTERPRET = False
+
+
+def _pallas_train_eligible(env_name: str) -> bool:
+    """Gating for the fused biLSTM training core (custom VJP,
+    ops/pallas_bilstm_train.py). env=1 enables on TPU, default off until
+    hardware-qualified; multi-chip training keeps the scan path (the
+    train core is not partition-aware)."""
+    if _TRAIN_FUSED_INTERPRET:
+        return True
+    if _os.environ.get(env_name, "0") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
 
 def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
     """Shared gating for the fused inference kernels: no autodiff rule →
@@ -214,6 +229,12 @@ class LSTM(_RNNBase):
                      and self.hidden_size % 128 == 0
                      and _pallas_inference_eligible(training,
                                                     "SDFA_PALLAS_BILSTM"))
+            # training: the differentiable fused recurrent core (custom
+            # VJP); consumes the XLA-side input projections, so only the
+            # gate dim needs lane alignment — covers FreqLstm (in=3) too
+            fused_train = (dirs == 2 and not return_params and training
+                           and (4 * self.hidden_size) % 128 == 0
+                           and _pallas_train_eligible("SDFA_PALLAS_LSTM_TRAIN"))
             outs = []
             dir_params = []
             for direction in range(dirs):
@@ -222,7 +243,7 @@ class LSTM(_RNNBase):
                 if return_params:
                     params[(layer, direction)] = (w_ih, w_hh, bias_sum)
                     continue
-                if fused:
+                if fused or fused_train:
                     dir_params.append((w_ih, w_hh, bias_sum))
                     continue
                 x_proj = jnp.matmul(out, w_ih, precision=_PREC)
@@ -239,6 +260,20 @@ class LSTM(_RNNBase):
                        else jnp.stack([dir_params[0][2], dir_params[1][2]]))
                 out = bilstm_layer_fused(out, w_ih2, w_hh2, gb2,
                                          interpret=_FREQ_FUSED_INTERPRET)
+            elif fused_train:
+                from ..ops.pallas_bilstm_train import bilstm_core
+
+                xps = []
+                for w_ih, _w_hh, bias_sum in dir_params:
+                    xp = jnp.matmul(out, w_ih, precision=_PREC)
+                    if bias_sum is not None:
+                        xp = xp + bias_sum
+                    xps.append(jnp.swapaxes(xp, 0, 1))  # (T, B, 4H)
+                core_out = bilstm_core(
+                    jnp.stack(xps),
+                    jnp.stack([p[1] for p in dir_params]),
+                    interpret=_TRAIN_FUSED_INTERPRET)
+                out = jnp.swapaxes(core_out, 0, 1)  # (B, T, 2H)
             else:
                 out = jnp.concatenate(outs, axis=-1) if dirs == 2 else outs[0]
             if layer < self.num_layers - 1:
