@@ -37,7 +37,8 @@ FLAME template is identity; fan-out retargeting stays on the XLA path).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -147,10 +148,16 @@ def decode_solve_free(
     eq_tile: int = 512,
     block_rows: int = 512,
     interpret: bool = False,
-    precise: bool = True,
+    precise: Optional[bool] = None,
 ) -> jnp.ndarray:
     """(rows, Ks), (rows, Kr) coefficients → free-vertex solution
-    (rows, 3, n_free). Wrap with ``assemble_from_free`` for full meshes."""
+    (rows, 3, n_free). Wrap with ``assemble_from_free`` for full meshes.
+
+    ``precise=None`` resolves from SDFA_PALLAS_SOLVE_PRECISE (default 1 =
+    3-pass f32 matmuls; 0 = 1-pass bf16 — an experiment knob, only
+    shippable if the bench realism line's f64-oracle error stays < 1e-4)."""
+    if precise is None:
+        precise = os.environ.get("SDFA_PALLAS_SOLVE_PRECISE", "1") == "1"
     return _ds_cp(eq_tile, block_rows, interpret, precise)(
         coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
         dsc.p)
