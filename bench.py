@@ -94,59 +94,18 @@ def _train_throughput(root: str) -> dict:
     compile. Reports the device-resident step and the step including the
     host→device batch upload (the tunnel-bound number a host-attached
     deployment would not pay; DESIGN.md §11)."""
-    import jax
-    import jax.numpy as jnp
+    from sdfa_tpu.train.stepbench import StepEnv
 
-    from sdfa_tpu.data import DatasetSlidingWindow
-    from sdfa_tpu.models import build_model
-    from sdfa_tpu.tools import configure
-    from sdfa_tpu.train import Experiment
-
-    hp = configure("dgrad", dataset_root=root,
-                   overrides=dict(trainer=dict(pca_targets=True)))
-    train_set = DatasetSlidingWindow(hp, training=True)
-    model = build_model(hp, load_pca=True)
-    exp = Experiment(hp, model, log_dir="/tmp/bench_train_bench", training=True)
-    bs = int(hp.trainer.anime_loader.batch_size)
-    batch_host = next(iter(train_set.raw_batches(bs)))
-    n_windows = max(np.shape(v)[0] for v in jax.tree_util.tree_leaves(batch_host)
-                    if np.ndim(v) > 0)
-    batch = exp.put_batch(batch_host)
-    lr, b1 = exp.current_lr(0)
-    lr = jnp.asarray(lr)
-    b1 = jnp.asarray(b1)
-    rng = jax.random.fold_in(exp.rng_base, 0)
-    state = exp.state
-
-    def sync(state, metrics):
-        # device_get is the only trustworthy completion barrier over the
-        # tunnel; a param slice covers the Adam update, not just the loss
-        jax.device_get(metrics)
-        _ = np.asarray(jnp.ravel(
-            jax.tree_util.tree_leaves(state.params)[0])[:1])
-
-    state, metrics = exp.train_step_fn(state, batch, rng, lr, b1)  # warmup
-    sync(state, metrics)
-
-    def timed(upload: bool,
-              n: int = int(os.environ.get("BENCH_TRAIN_ITERS", 10))) -> float:
-        nonlocal state
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            b = exp.put_batch(batch_host) if upload else batch
-            state, metrics = exp.train_step_fn(state, b, rng, lr, b1)
-            sync(state, metrics)
-            ts.append(time.perf_counter() - t0)
-        return sorted(ts)[len(ts) // 2]
-
-    dt_dev = timed(upload=False)
-    dt_up = timed(upload=True)
+    env = StepEnv(root, log_dir="/tmp/bench_train_bench")
+    env.sync(env.step())  # warmup/compile
+    n = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
+    dt_dev = env.timed_median_s(n, upload=False)
+    dt_up = env.timed_median_s(n, upload=True)
     return {
         "train_step_ms_device": round(dt_dev * 1e3, 1),
         "train_step_ms_incl_upload": round(dt_up * 1e3, 1),
-        "train_windows_per_s_device": round(n_windows / dt_dev, 1),
-        "train_batch_windows": int(n_windows),
+        "train_windows_per_s_device": round(env.n_windows / dt_dev, 1),
+        "train_batch_windows": env.n_windows,
     }
 
 
@@ -432,9 +391,11 @@ def main():
 
     # fused Pallas decode+solve consts (k-major bases + padded P) — a jit
     # ARGUMENT, never a closure (200 MB embedded constant otherwise)
+    # same eligibility helper task.py uses — one definition of the gate
+    from sdfa_tpu.nn.recurrent import _pallas_inference_eligible
+
     use_fused_solve = (spec.identity_eq and model.using_pca
-                       and os.environ.get("SDFA_PALLAS_SOLVE", "auto") != "0"
-                       and jax.default_backend() == "tpu")
+                       and _pallas_inference_eligible(False, "SDFA_PALLAS_SOLVE"))
     dsc = None
     if use_fused_solve:
         from sdfa_tpu.ops.pallas_decode_solve import (decode_solve_fused,

@@ -48,27 +48,42 @@ def main():
             "/root/reference/speech_anime/datasets/vocaset/template/"
             "FLAME_sample.ply")
 
-    n_frames = 0
+    import threading
+
+    counts = {"frames": 0, "during_push": 0}
     t0 = time.perf_counter()
     with StreamClient((host, port)) as client:
         sid = client.open(speaker=0)
+        pushing = threading.Event()
+        pushing.set()
 
-        # push in the background of the frame loop: frames() blocks, so
-        # interleave manually — push a chunk, drain whatever arrived
+        def reader():
+            # drain frames WHILE the clip is still being pushed (sends and
+            # receives ride opposite socket directions) — this is what
+            # keeps the server outbox bounded on long clips
+            for ts, verts in client.frames(sid):
+                counts["frames"] += 1
+                if pushing.is_set():
+                    counts["during_push"] += 1
+                if out_dir:
+                    mesh.write_obj(
+                        os.path.join(out_dir, f"{int(ts):07d}.obj"),
+                        verts, faces)
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
         for lo in range(0, len(sig), chunk):
             client.push(sid, sig[lo:lo + chunk])
             time.sleep(chunk / sr)  # real-time pacing
+        pushing.clear()
         client.flush(sid)
-
-        for ts, verts in client.frames(sid):
-            n_frames += 1
-            if out_dir:
-                mesh.write_obj(os.path.join(out_dir, f"{int(ts):07d}.obj"),
-                               verts, faces)
+        t.join()
+    n_frames = counts["frames"]
     wall = time.perf_counter() - t0
     clip_s = len(sig) / sr
     print(f"{n_frames} frames for a {clip_s:.2f}s clip in {wall:.2f}s "
-          f"(incl. real-time paced pushes)")
+          f"(incl. real-time paced pushes; {counts['during_push']} frames "
+          f"arrived while still pushing)")
 
 
 if __name__ == "__main__":

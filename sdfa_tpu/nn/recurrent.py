@@ -230,10 +230,12 @@ class LSTM(_RNNBase):
                      and _pallas_inference_eligible(training,
                                                     "SDFA_PALLAS_BILSTM"))
             # training: the differentiable fused recurrent core (custom
-            # VJP); consumes the XLA-side input projections, so only the
-            # gate dim needs lane alignment — covers FreqLstm (in=3) too
+            # VJP); consumes the XLA-side input projections, so the input
+            # width is unconstrained — covers FreqLstm (in=3) too. hidden
+            # itself must stay 128-aligned: the kernel lane-slices the h
+            # output at d*hidden (pallas_bilstm_train.py h_dma/dout_dma)
             fused_train = (dirs == 2 and not return_params and training
-                           and (4 * self.hidden_size) % 128 == 0
+                           and self.hidden_size % 128 == 0
                            and _pallas_train_eligible("SDFA_PALLAS_LSTM_TRAIN"))
             outs = []
             dir_params = []

@@ -182,10 +182,16 @@ class ServeApp:
                 self._wake.clear()
 
     def _tick_once(self) -> None:
+        # dispatch under the lock (touches slot state clients mutate);
+        # the BLOCKING device→host download happens outside it — holding
+        # the lock across the 300-600 ms device round would stall every
+        # client push/open/flush for the whole tick
         with self.lock:
             live = self.srv.live()
-            emitted = self.srv.tick() if live else {}
-            done = [sid for sid in live if self.srv.is_done(sid)]
+            pending = self.srv.tick_dispatch() if live else None
+        emitted = self.srv.tick_collect(pending)
+        with self.lock:
+            done = [sid for sid in self.srv.live() if self.srv.is_done(sid)]
             targets = []  # route under the lock, send outside it
             for sid, frames in emitted.items():
                 client = self.owner.get(sid)

@@ -56,6 +56,16 @@ def _take_block(sig: np.ndarray, sig_off: int, t_mel: int, spec,
     return block
 
 
+def _snapped_window_geom(spec, pad: int, w: int):
+    """Window w's first ring-frame index + emission timestamp — the
+    hop-snapped geometry of WindowSpec.frame_grid (np.round = banker's
+    rounding), shared by StreamingSession and StreamingServer so the
+    parity-critical snap arithmetic has exactly one copy."""
+    start, ts = spec.window_geom(w)  # shared with the offline paths
+    snapped = int(np.round(np.float64(start) / spec.hop_size)) * spec.hop_size
+    return (snapped + pad) // spec.hop_size, ts
+
+
 def _emit_slice_len(spec, emit_batch: int) -> int:
     """z-slice length covering one emit batch, padded to a 64 multiple."""
     span = spec.frames + int(math.ceil(
@@ -129,12 +139,7 @@ class StreamingSession:
         return (s.sliding / 2 + self._DCTX * s.hop_size) / s.sr
 
     def _window_geom(self, w: int):
-        s = self.spec
-        start, ts = s.window_geom(w)  # shared with the offline paths
-        # hop-snap exactly like frame_grid (np.round = banker's rounding)
-        snapped = int(np.round(np.float64(start) / s.hop_size)) * s.hop_size
-        f0 = (snapped + self._pad) // s.hop_size
-        return f0, ts
+        return _snapped_window_geom(self.spec, self._pad, w)
 
     def _n_windows(self, n_samples: int) -> int:
         return self.spec.n_windows(n_samples)
@@ -434,10 +439,7 @@ class StreamingServer:
 
     # -- geometry (identical to StreamingSession) --------------------------
     def _window_geom(self, w: int):
-        s = self.spec
-        start, ts = s.window_geom(w)
-        snapped = int(np.round(np.float64(start) / s.hop_size)) * s.hop_size
-        return (snapped + self._pad) // s.hop_size, ts
+        return _snapped_window_geom(self.spec, self._pad, w)
 
     # -- pipeline ----------------------------------------------------------
     def _advance_blocks(self):
@@ -561,15 +563,31 @@ class StreamingServer:
                 emitted.setdefault(sid, []).extend(frames)
         return emitted
 
+    def tick_dispatch(self):
+        """First half of a tick: ingest ready blocks + launch the suffix
+        call (all async dispatch, no blocking download). Returns an opaque
+        pending token for ``tick_collect``. Split out so a serving wrapper
+        can hold its client lock only across this half — the blocking
+        device→host download in tick_collect would otherwise stall every
+        client push/open/flush for the whole device round."""
+        self._advance_blocks()
+        plan, handle = self._dispatch()
+        if not self.pipeline:
+            return (plan, handle) if plan else None
+        prev, self._inflight_call = (
+            self._inflight_call, (plan, handle) if plan else None)
+        return prev
+
+    def tick_collect(self, pending) -> Dict[int, List[Tuple[float, np.ndarray]]]:
+        """Second half: block on the download and route frames. Safe to
+        call without the caller's client lock — it only touches the plan's
+        slot objects (single tick thread) and reads _slots for the
+        closed-mid-flight guard."""
+        return self._collect(*pending) if pending else {}
+
     def tick(self) -> Dict[int, List[Tuple[float, np.ndarray]]]:
         """Advance every live stream: one batched block round + one
         batched suffix call. Non-pipelined: returns this round's frames.
         Pipelined: returns the PREVIOUS round's frames (one-tick latency;
         the download of round k−1 overlaps round k's device compute)."""
-        self._advance_blocks()
-        plan, handle = self._dispatch()
-        if not self.pipeline:
-            return self._collect(plan, handle) if plan else {}
-        prev, self._inflight_call = (
-            self._inflight_call, (plan, handle) if plan else None)
-        return self._collect(*prev) if prev else {}
+        return self.tick_collect(self.tick_dispatch())

@@ -27,59 +27,29 @@ def build_and_run(flag: str, root: str,
     import jax
     import jax.numpy as jnp
 
-    from sdfa_tpu.data import DatasetSlidingWindow
-    from sdfa_tpu.models import build_model
-    from sdfa_tpu.tools import configure
-    from sdfa_tpu.train import Experiment
+    from sdfa_tpu.train.stepbench import StepEnv
 
     os.environ["SDFA_PALLAS_LSTM_TRAIN"] = flag
-    hp = configure("dgrad", dataset_root=root,
-                   overrides=dict(trainer=dict(pca_targets=True)))
-    train_set = DatasetSlidingWindow(hp, training=True)
-    model = build_model(hp, load_pca=True)
-    exp = Experiment(hp, model, log_dir=f"/tmp/qual_train_{flag}",
-                     training=True)
-    bs = int(hp.trainer.anime_loader.batch_size)
-    batch = exp.put_batch(next(iter(train_set.raw_batches(bs, shuffle=False))))
-    n_windows = max(np.shape(v)[0] for v in jax.tree_util.tree_leaves(batch)
-                    if hasattr(v, "ndim") and v.ndim > 0)
-    lr, b1 = exp.current_lr(0)
-    lr = jnp.asarray(lr)
-    b1 = jnp.asarray(b1)
-
-    def sync(state, metrics):
-        jax.device_get(metrics)
-        _ = np.asarray(jnp.ravel(
-            jax.tree_util.tree_leaves(state.params)[0])[:1])
+    env = StepEnv(root, log_dir=f"/tmp/qual_train_{flag}")
 
     # parity leg: 5 deterministic steps from the seeded init
-    state = exp.state
     losses = []
     for k in range(5):
-        rng = jax.random.fold_in(exp.rng_base, k)
-        state, metrics = exp.train_step_fn(state, batch, rng, lr, b1)
-        vals = jax.device_get(metrics)
+        vals = jax.device_get(env.step(k))
         losses.append(float(sum(
-            v for k, v in vals.items()
-            if k.startswith("loss") or k.startswith("dyn_"))))
+            v for key, v in vals.items()
+            if key.startswith("loss") or key.startswith("dyn_"))))
     probe = np.asarray(jnp.ravel(
-        jax.tree_util.tree_leaves(state.params)[0])[:64])
+        jax.tree_util.tree_leaves(env.state.params)[0])[:64])
 
     # timing leg (warm: the 5 steps above compiled everything)
-    rng = jax.random.fold_in(exp.rng_base, 0)
-    ts = []
-    for _ in range(n_timed):
-        t0 = time.perf_counter()
-        state, metrics = exp.train_step_fn(state, batch, rng, lr, b1)
-        sync(state, metrics)
-        ts.append(time.perf_counter() - t0)
-    dt = sorted(ts)[len(ts) // 2]
+    dt = env.timed_median_s(n_timed)
     return {
         "ms_per_step": round(dt * 1e3, 1),
-        "windows_per_s": round(n_windows / dt, 1),
+        "windows_per_s": round(env.n_windows / dt, 1),
         "losses": [round(x, 6) for x in losses],
         "probe": probe,
-        "n_windows": int(n_windows),
+        "n_windows": env.n_windows,
     }
 
 
