@@ -477,6 +477,30 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median, per-call blocked
 
+    # pipelined steady state: keep one call in flight, sync call i-1 while
+    # call i computes — how a serving loop actually runs (the host-side
+    # dispatch + result sync of one batch hides under the next batch's
+    # device time). Reported separately from the per-call median above.
+    dt_pipe = None
+    if os.environ.get("BENCH_PIPELINED", "1") == "1":
+        try:  # two in-flight outputs cost ~0.5 GB extra HBM — never let a
+            # RESOURCE_EXHAUSTED here sink the headline measurement
+            n_pipe = max(n_iter, 4)
+            pending = None
+            t0 = time.perf_counter()
+            for _ in range(n_pipe):
+                nxt = fn(variables, consts, dsc, sig_dev, starts)
+                if pending is not None:
+                    _ = np.asarray(pending[:1, :, :8])
+                pending = nxt
+            _ = np.asarray(pending[:1, :, :8])
+            dt_pipe = (time.perf_counter() - t0) / n_pipe
+            pending = nxt = None
+        except Exception as e:
+            print(f"[bench] pipelined sub-step skipped: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
+            dt_pipe = None
+
     x_realtime = seconds * n_clips / dt
     audio_s = seconds * n_clips
 
@@ -556,6 +580,8 @@ def main():
         "x_realtime_max": round(audio_s / min(times), 2),
         "iters": len(times),
     }
+    if dt_pipe is not None:
+        headline["x_realtime_pipelined"] = round(audio_s / dt_pipe, 2)
     if stages is not None:
         headline["stages"] = stages
 
