@@ -40,8 +40,8 @@ _TRAIN_FUSED_INTERPRET = False
 def _pallas_train_eligible(env_name: str) -> bool:
     """Gating for the fused biLSTM training core (custom VJP,
     ops/pallas_bilstm_train.py). env=1 enables on TPU, default off until
-    hardware-qualified; multi-chip training keeps the scan path (the
-    train core is not partition-aware)."""
+    hardware-qualified. Partition-aware: a sharded train step splits the
+    rows axis and runs the kernels per shard."""
     if _TRAIN_FUSED_INTERPRET:
         return True
     if _os.environ.get(env_name, "0") != "1":

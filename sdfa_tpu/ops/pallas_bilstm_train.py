@@ -31,10 +31,13 @@ All matmuls accumulate f32 via the 3-pass bf16 hi/lo split (`_dot_f32`)
 — gradient parity vs the f32 scan autodiff is tested in interpret mode
 (tests/test_pallas_bilstm_train.py).
 
-Gate order is torch's i,f,g,o (reference rnn.py:4-21 semantics). Scope:
-single-chip TPU training (multi-chip training keeps the scan path — the
-train core is not partition-aware; rows_partitioned assumes leading-axis
-rows, and GSPMD training was qualified on the scan path).
+Gate order is torch's i,f,g,o (reference rnn.py:4-21 semantics).
+Partition-aware like the inference kernels: both the forward and the
+BPTT program declare rows-batch parallelism (``_axis_partitioned`` —
+rows_partitioned generalized to a rows axis at any position and multiple
+results), so a data-parallel sharded train step runs each kernel on its
+local rows with zero collectives
+(tests/test_pallas_bilstm_train.py::TestShardedPartitioning).
 """
 
 from __future__ import annotations
@@ -46,9 +49,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as _P
+
 from .pallas_freq_lstm import _dot_f32, row_block
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+def _axis_partitioned(impl, rule: str, need_replication: tuple,
+                      arg_rows_axes: tuple, res_rows_axes: tuple):
+    """rows_partitioned generalized to a rows axis at ANY position (and
+    multiple results): ``arg_rows_axes``/``res_rows_axes`` give the rows
+    axis index per argument/result (None = fully replicated). Each shard
+    runs ``impl`` on its local rows — identical math, zero collectives."""
+    cp = custom_partitioning(impl)
+
+    def _rows_spec(arg_shapes):
+        for a, ax in zip(arg_shapes, arg_rows_axes):
+            if ax is not None:
+                spec = a.sharding.spec
+                return spec[ax] if len(spec) > ax else None
+        return None
+
+    def _sh(mesh, spec0, ndim, ax):
+        names = [None] * ndim
+        if ax is not None:
+            names[ax] = spec0
+        return NamedSharding(mesh, _P(*names))
+
+    def infer(mesh, arg_shapes, result_shape):
+        s0 = _rows_spec(arg_shapes)
+        if isinstance(result_shape, (list, tuple)):
+            return tuple(_sh(mesh, s0, len(r.shape), ax)
+                         for r, ax in zip(result_shape, res_rows_axes))
+        return _sh(mesh, s0, len(result_shape.shape), res_rows_axes[0])
+
+    def partition(mesh, arg_shapes, result_shape):
+        s0 = _rows_spec(arg_shapes)
+        arg_sh = tuple(_sh(mesh, s0, len(a.shape), ax)
+                       for a, ax in zip(arg_shapes, arg_rows_axes))
+        return mesh, impl, infer(mesh, arg_shapes, result_shape), arg_sh
+
+    cp.def_partition(partition, infer_sharding_from_operands=infer,
+                     sharding_rule=rule,
+                     need_replication_factors=need_replication)
+    return cp
 
 
 def _fwd_kernel(xp_hbm, w_hh, out_hbm, gates_hbm, c_hbm,
@@ -367,21 +414,46 @@ def _bwd_impl(gates, c, w_hht, dout, block_rows: int, interpret: bool,
 
 
 @functools.lru_cache(maxsize=None)
+def _fwd_cp(block_rows: int, interpret: bool, precise: bool):
+    def impl(xp, w_hh):
+        return _fwd_impl(xp, w_hh, block_rows, interpret, precise)
+
+    # rows factor i shards (GSPMD/Shardy); everything else replicates —
+    # multi-chip data-parallel training runs the kernel per shard
+    return _axis_partitioned(
+        impl, "a t i g, a h g -> t i d, a t i g, a t i h",
+        ("a", "t", "g", "h", "d"),
+        arg_rows_axes=(2, None), res_rows_axes=(1, 2, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(block_rows: int, interpret: bool, precise: bool):
+    def impl(gates, c, w_hht, dout):
+        return _bwd_impl(gates, c, w_hht, dout, block_rows, interpret,
+                         precise)
+
+    return _axis_partitioned(
+        impl, "a t i g, a t i h, a g h, t i d -> a t i g",
+        ("a", "t", "g", "h", "d"),
+        arg_rows_axes=(2, 2, None, 1), res_rows_axes=(2,))
+
+
+@functools.lru_cache(maxsize=None)
 def _core(block_rows: int, interpret: bool, precise: bool):
     @jax.custom_vjp
     def core(xp, w_hh):
-        out, _, _ = _fwd_impl(xp, w_hh, block_rows, interpret, precise)
+        out, _, _ = _fwd_cp(block_rows, interpret, precise)(xp, w_hh)
         return out
 
     def fwd(xp, w_hh):
-        out, gates, c = _fwd_impl(xp, w_hh, block_rows, interpret, precise)
+        out, gates, c = _fwd_cp(block_rows, interpret, precise)(xp, w_hh)
         return out, (gates, c, out, w_hh)
 
     def bwd(res, dout):
         gates, c, out, w_hh = res
         hidden = w_hh.shape[1]
-        dg = _bwd_impl(gates, c, jnp.swapaxes(w_hh, 1, 2), dout,
-                       block_rows, interpret, precise)  # (2,T,rows,4H) time
+        dg = _bwd_cp(block_rows, interpret, precise)(
+            gates, c, jnp.swapaxes(w_hh, 1, 2), dout)  # (2,T,rows,4H) time
         h_f = out[..., :hidden]
         h_r = out[..., hidden:]
         # previous-step h in TIME order: fwd dir shifts right, rev shifts

@@ -117,6 +117,60 @@ class TestModuleIntegration:
         self._compare(module, x)
 
 
+class TestShardedPartitioning:
+    """The training core is partition-aware: under a sharded jit the rows
+    axis splits across the mesh in BOTH the forward and the BPTT kernel
+    (no replicated fallback), and value + grads match the unsharded run."""
+
+    def test_core_partitions_rows_fwd_and_bwd(self, monkeypatch):
+        from jax.sharding import PartitionSpec as P
+
+        from sdfa_tpu.ops import pallas_bilstm_train as pbt
+        from sdfa_tpu.parallel import mesh as mesh_lib
+
+        seq_len, rows, hidden = 8, 64, 128
+        xp, w_hh = _make(seq_len, rows, hidden, seed=5)
+
+        def loss(xp, w_hh):
+            return jnp.sum(jnp.tanh(
+                pbt.bilstm_core(xp, w_hh, interpret=True)))
+
+        want_val, want_grads = jax.value_and_grad(
+            loss, argnums=(0, 1))(xp, w_hh)
+
+        fwd_shapes, bwd_shapes = [], []
+        orig_fwd, orig_bwd = pbt._fwd_impl, pbt._bwd_impl
+
+        def spy_fwd(xp, *a, **k):
+            fwd_shapes.append(xp.shape)
+            return orig_fwd(xp, *a, **k)
+
+        def spy_bwd(gates, *a, **k):
+            bwd_shapes.append(gates.shape)
+            return orig_bwd(gates, *a, **k)
+
+        monkeypatch.setattr(pbt, "_fwd_impl", spy_fwd)
+        monkeypatch.setattr(pbt, "_bwd_impl", spy_bwd)
+
+        mesh = mesh_lib.make_mesh()
+        assert mesh.devices.size == 8
+        rows_sh = jax.NamedSharding(mesh, P(None, None, "data", None))
+        repl = mesh_lib.replicated(mesh)
+
+        fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)),
+                     in_shardings=(rows_sh, repl))
+        got_val, got_grads = fn(jax.device_put(xp, rows_sh),
+                                jax.device_put(w_hh, repl))
+        np.testing.assert_allclose(got_val, want_val, rtol=1e-5)
+        for got, want in zip(got_grads, want_grads):
+            scale = float(np.max(np.abs(want))) + 1e-12
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       atol=3e-5 * scale, rtol=5e-4)
+        # both kernels must have traced at the LOCAL row count (rows/8)
+        assert (2, seq_len, rows // 8, 4 * hidden) in fwd_shapes, fwd_shapes
+        assert (2, seq_len, rows // 8, 4 * hidden) in bwd_shapes, bwd_shapes
+
+
 def test_grad_matches_jacobian_direction():
     """Directional-derivative check independent of the oracle: f(x+εv)
     numerics vs ⟨∇f, v⟩ from the custom VJP."""
