@@ -249,7 +249,10 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     }
 
 
-def _wait_for_backend(attempts: int = 8, sleep_s: float = 45.0) -> None:
+def _wait_for_backend(
+        attempts: int = int(os.environ.get("BENCH_WAIT_ATTEMPTS", 16)),
+        sleep_s: float = float(os.environ.get("BENCH_WAIT_SLEEP", 45.0)),
+) -> None:
     """Probe TPU backend init in a SUBPROCESS and retry on failure.
 
     The axon tunnel occasionally drops for a few minutes; an in-process
