@@ -40,6 +40,33 @@ class TestCsv:
 
 
 class TestSlidingWindow:
+    def test_frame_grid_keeps_gathered_frames_delta_interior(self, hp):
+        """ADVICE r2 #1: frame_grid's right pad must keep every GATHERED
+        frame >= 4 grid frames away from the end, so the 9-tap Savitzky-
+        Golay delta never applies its right-edge fits to a frame a window
+        reads — for ALL clip lengths, including ones whose frame count
+        lands exactly on the jit bucket boundary."""
+        from sdfa_tpu.audio.pipeline import WindowSpec
+
+        wspec = WindowSpec(hp)
+        sr = int(hp.audio.sample_rate)
+        lengths = list(range(sr // 2, 4 * sr, 977))  # irregular sweep
+        # plus lengths engineered to land near/on the 256-frame bucket
+        for t_target in (252, 253, 254, 255, 256, 257):
+            lengths.append(t_target * wspec.hop_size + wspec.win_size)
+        for n in lengths:
+            for bucket in (0, 256):
+                frame_idx, _, pad_l, pad_r, t_total = wspec.frame_grid(
+                    n, bucket=bucket)
+                if bucket:
+                    assert t_total % bucket == 0, (n, t_total)
+                assert int(frame_idx.max()) + 4 < t_total, (
+                    n, bucket, int(frame_idx.max()), t_total)
+                # the padded signal really yields t_total frames
+                total = n + pad_l + pad_r
+                assert 1 + (total - wspec.win_size) // wspec.hop_size \
+                    == t_total
+
     def test_window_geometry(self, hp, synth_root):
         ds = DatasetSlidingWindow(hp, training=False)
         # sliding = 64·63 + 512 = 4544 samples = 0.568 s (SURVEY.md §2.5)
