@@ -59,6 +59,15 @@ class DecodeSolveConsts(NamedTuple):
     means_r (3, T'), p (3, T', NF). The padded tail has zero basis AND
     zero means (decoded d=0 → identity transform) and zero P rows, so it
     contributes exactly nothing regardless of the transform values.
+
+    t0 (9, T') / x0 (3, NF) support the delta-reference solve mode: t0 is
+    the transform-entry planes of the PCA MEANS (the neutral pose) and x0
+    its exact (f64) solve. The kernel then computes
+    ``x = x0 + (T − T0) @ P`` with the delta product in 1-pass bf16 —
+    the deformation signal rides on the precomputed x0, so truncating the
+    small ΔT loses almost nothing (measured 2.4e-6 max vertex error vs
+    the f64 oracle, ~40× inside the 1e-4 budget, at 1/3 the MXU passes
+    of the 3-pass split; DESIGN.md §12.4).
     """
 
     basis_s: jnp.ndarray
@@ -66,6 +75,8 @@ class DecodeSolveConsts(NamedTuple):
     basis_r: jnp.ndarray
     means_r: jnp.ndarray
     p: jnp.ndarray
+    t0: jnp.ndarray
+    x0: jnp.ndarray
 
 
 def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
@@ -93,7 +104,21 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
     basis_s, means_s = km(scale_sub, 6)
     basis_r, means_r = km(rotat_sub, 3)
     p = jnp.pad(consts.p, ((0, 0), (0, Tp - T), (0, 0)))  # (3, T', NF)
-    return DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p)
+
+    # delta-reference constants: transform entries of the means (f32 — the
+    # SAME value the kernel subtracts, so T = ΔT + T0 decomposes exactly)
+    # and their exact f64 solve. Padded tail: means 0 → T0 = I there, and
+    # the in-kernel T is I too → ΔT tail ≡ 0.
+    d0 = [means_s[k] for k in range(6)] + [means_r[k] for k in range(3)]
+    t0_ll = transform_entries_from_planes(d0)
+    t0 = jnp.stack([t0_ll[i][j] for i in range(3) for j in range(3)])
+    p64 = np.asarray(p, np.float64)
+    t064 = np.asarray(t0, np.float64)
+    x0 = np.stack([
+        sum(t064[3 * dd + c] @ p64[c] for c in range(3)) for dd in range(3)
+    ]).astype(np.float32)  # (3, NF)
+    return DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p,
+                             t0, jnp.asarray(x0))
 
 
 def _kernel(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
@@ -124,21 +149,53 @@ def _kernel(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
             + _dot_f32(t[dd][2], p[2], precise))
 
 
+def _kernel_delta(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p,
+                  t0, x0, o0, o1, o2, *, precise: bool):
+    """Delta-reference variant: x = x0 + ΔT @ P with ΔT = T − T0 and the
+    delta products in 1-pass bf16 (f32 accumulate). The deformation
+    signal lives in x0 (exact) + a small ΔT, so the bf16 truncation error
+    scales with ‖ΔT‖ ~ 0.05, not ‖T‖ ~ 1 — measured 2.4e-6 max vertex
+    error vs f64, at 1/3 the solve-matmul passes. The decode matmuls
+    (tiny K) keep the 3-pass split."""
+    j = pl.program_id(1)
+    outs = (o0, o1, o2)
+
+    @pl.when(j == 0)
+    def _():
+        for dd, o in enumerate(outs):
+            o[:] = jnp.broadcast_to(x0[dd:dd + 1, :], o.shape)
+
+    d = [
+        _dot_f32(coef_s[:], basis_s[:, k, :], precise) + means_s[k:k + 1, :]
+        for k in range(6)
+    ] + [
+        _dot_f32(coef_r[:], basis_r[:, k, :], precise) + means_r[k:k + 1, :]
+        for k in range(3)
+    ]
+    t = transform_entries_from_planes(d)
+    for dd in range(3):
+        outs[dd][:] = outs[dd][:] + (
+            _dot_f32(t[dd][0] - t0[3 * dd + 0:3 * dd + 1, :], p[0], False)
+            + _dot_f32(t[dd][1] - t0[3 * dd + 1:3 * dd + 2, :], p[1], False)
+            + _dot_f32(t[dd][2] - t0[3 * dd + 2:3 * dd + 3, :], p[2], False))
+
+
 @functools.lru_cache(maxsize=None)
-def _ds_cp(eq_tile: int, block_rows: int, interpret: bool, precise: bool):
-    def impl(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p):
+def _ds_cp(eq_tile: int, block_rows: int, interpret: bool, precise: bool,
+           delta: bool):
+    def impl(coef_s, coef_r, basis_s, means_s, basis_r, means_r, p, t0, x0):
         return _decode_solve_impl(
             coef_s, coef_r,
-            DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p),
+            DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p, t0, x0),
             eq_tile=eq_tile, block_rows=block_rows, interpret=interpret,
-            precise=precise)
+            precise=precise, delta=delta)
 
     # rows-batch parallel under GSPMD/Shardy, like the LSTM kernels:
     # the coefficient rows shard, every constant replicates
     return rows_partitioned(
         impl,
-        "i a, i b, c u e, u e, f g e, g e, g e l -> i g l",
-        ("a", "b", "c", "u", "e", "f", "g", "l"))
+        "i a, i b, c u e, u e, f g e, g e, g e l, q e, g l -> i g l",
+        ("a", "b", "c", "u", "e", "f", "g", "l", "q"))
 
 
 def decode_solve_free(
@@ -149,18 +206,27 @@ def decode_solve_free(
     block_rows: int = 512,
     interpret: bool = False,
     precise: Optional[bool] = None,
+    delta: Optional[bool] = None,
 ) -> jnp.ndarray:
     """(rows, Ks), (rows, Kr) coefficients → free-vertex solution
     (rows, 3, n_free). Wrap with ``assemble_from_free`` for full meshes.
 
-    ``precise=None`` resolves from SDFA_PALLAS_SOLVE_PRECISE (default 1 =
-    3-pass f32 matmuls; 0 = 1-pass bf16 — an experiment knob, only
-    shippable if the bench realism line's f64-oracle error stays < 1e-4)."""
+    ``delta=None`` resolves from SDFA_SOLVE_DELTA (default 1): the
+    delta-reference mode — x = x0 + (T−T0)@P with the delta products in
+    1-pass bf16, 1/3 the solve-matmul passes at 2.4e-6 measured error
+    (see DecodeSolveConsts). SDFA_SOLVE_DELTA=0 restores the 3-pass
+    full-T products. ``precise=None`` resolves from
+    SDFA_PALLAS_SOLVE_PRECISE (default 1 = 3-pass f32 for the non-delta
+    products and the decode matmuls; 0 = 1-pass bf16 everywhere — an
+    experiment knob, only shippable if the bench realism line's
+    f64-oracle error stays < 1e-4)."""
     if precise is None:
         precise = os.environ.get("SDFA_PALLAS_SOLVE_PRECISE", "1") == "1"
-    return _ds_cp(eq_tile, block_rows, interpret, precise)(
+    if delta is None:
+        delta = os.environ.get("SDFA_SOLVE_DELTA", "1") == "1"
+    return _ds_cp(eq_tile, block_rows, interpret, precise, delta)(
         coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
-        dsc.p)
+        dsc.p, dsc.t0, dsc.x0)
 
 
 def _decode_solve_impl(
@@ -171,6 +237,7 @@ def _decode_solve_impl(
     block_rows: int = 512,
     interpret: bool = False,
     precise: bool = True,
+    delta: bool = False,
 ) -> jnp.ndarray:
     rows = coef_s.shape[0]
     Ks, six, Tp = dsc.basis_s.shape
@@ -186,19 +253,30 @@ def _decode_solve_impl(
         coef_r = jnp.pad(coef_r, ((0, pad), (0, 0)))
     nb = coef_s.shape[0] // blk
 
-    kernel = functools.partial(_kernel, precise=precise)
+    in_specs = [
+        pl.BlockSpec((blk, Ks), lambda i, j: (i, 0)),        # coef_s
+        pl.BlockSpec((blk, Kr), lambda i, j: (i, 0)),        # coef_r
+        pl.BlockSpec((Ks, 6, eq_tile), lambda i, j: (0, 0, j)),
+        pl.BlockSpec((6, eq_tile), lambda i, j: (0, j)),
+        pl.BlockSpec((Kr, 3, eq_tile), lambda i, j: (0, 0, j)),
+        pl.BlockSpec((3, eq_tile), lambda i, j: (0, j)),
+        pl.BlockSpec((3, eq_tile, nf), lambda i, j: (0, j, 0)),
+    ]
+    args = [coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r,
+            dsc.means_r, dsc.p]
+    if delta:
+        in_specs += [
+            pl.BlockSpec((9, eq_tile), lambda i, j: (0, j)),   # t0
+            pl.BlockSpec((3, nf), lambda i, j: (0, 0)),        # x0
+        ]
+        args += [dsc.t0, dsc.x0]
+        kernel = functools.partial(_kernel_delta, precise=precise)
+    else:
+        kernel = functools.partial(_kernel, precise=precise)
     outs = pl.pallas_call(
         kernel,
         grid=(nb, n_eq_tiles),
-        in_specs=[
-            pl.BlockSpec((blk, Ks), lambda i, j: (i, 0)),        # coef_s
-            pl.BlockSpec((blk, Kr), lambda i, j: (i, 0)),        # coef_r
-            pl.BlockSpec((Ks, 6, eq_tile), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((6, eq_tile), lambda i, j: (0, j)),
-            pl.BlockSpec((Kr, 3, eq_tile), lambda i, j: (0, 0, j)),
-            pl.BlockSpec((3, eq_tile), lambda i, j: (0, j)),
-            pl.BlockSpec((3, eq_tile, nf), lambda i, j: (0, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((blk, nf), lambda i, j: (i, 0)) for _ in range(3)
         ],
@@ -212,8 +290,7 @@ def _decode_solve_impl(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
-      dsc.p)
+    )(*args)
     x = jnp.stack(outs, axis=-2)  # (rows', 3, nf)
     return x[:rows]
 

@@ -133,3 +133,52 @@ def test_zero_coeffs_give_mean_shape(setup):
     ref = _xla_reference(consts, spec, scale_sub, rotat_sub, coef_s, coef_r)
     assert float(np.abs(out - ref).max()) < 1e-5
     assert np.allclose(out[0], out[5])
+
+
+def test_delta_mode_bf16_truncation_bound(setup, monkeypatch):
+    """The delta-reference mode's whole point: simulate Mosaic's bf16
+    operand truncation (interpret mode runs 1-pass dots in full f32, so
+    the truncation must be injected) and assert the ΔT@P products stay
+    ~40× inside the 1e-4 budget vs the f64 host oracle — while the SAME
+    truncation on the full-T products (delta off, precise off) does not.
+    """
+    import ml_dtypes
+
+    from sdfa_tpu.ops import pallas_decode_solve as pds
+
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    rows = 6
+    coef_s = rng.normal(0, 1.0, (rows, 12)).astype(np.float32)
+    coef_r = rng.normal(0, 1.0, (rows, 7)).astype(np.float32)
+    scale = coef_s @ scale_sub["compT"].T + scale_sub["means"]
+    rotat = coef_r @ rotat_sub["compT"].T + rotat_sub["means"]
+    T = spec.n_tris
+    dg = np.zeros((rows, T, 9), np.float64)
+    dg[:, :, :6] = scale.reshape(rows, T, 6)
+    dg[:, :, 6:] = rotat.reshape(rows, T, 3)
+    oracle = np.stack([solver.solve_host(dg[i]) for i in range(rows)])
+
+    orig = pds._dot_f32
+
+    def dot_sim(a, b, precise=True):
+        if precise:  # 3-pass split: keep full precision (as on hardware)
+            return orig(a, b, True)
+        a = a.astype(ml_dtypes.bfloat16).astype(jnp.float32)
+        b = b.astype(ml_dtypes.bfloat16).astype(jnp.float32)
+        return orig(a, b, False)
+
+    monkeypatch.setattr(pds, "_dot_f32", dot_sim)
+    pds._ds_cp.cache_clear()  # drop traces captured with the real dot
+
+    def run(delta, precise):
+        out = np.asarray(pds.decode_solve_fused(
+            jnp.asarray(coef_s), jnp.asarray(coef_r), dsc, consts, spec,
+            consts.template_cnst, out_layout="3v", interpret=True,
+            precise=precise, delta=delta))
+        return float(np.abs(np.swapaxes(out, 1, 2) - oracle).max())
+
+    err_delta = run(delta=True, precise=True)
+    err_1pass = run(delta=False, precise=False)
+    pds._ds_cp.cache_clear()  # don't leak simulated-dot traces to others
+    assert err_delta < 1e-5, err_delta         # measured ~2.4e-6
+    assert err_1pass > 3 * err_delta, (err_1pass, err_delta)
