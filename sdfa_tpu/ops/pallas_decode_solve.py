@@ -224,6 +224,11 @@ def decode_solve_free(
         precise = os.environ.get("SDFA_PALLAS_SOLVE_PRECISE", "1") == "1"
     if delta is None:
         delta = os.environ.get("SDFA_SOLVE_DELTA", "1") == "1"
+    # tile-sweep knobs (delta mode shifts the compute/bandwidth balance —
+    # with 1/3 the MXU passes the P re-stream hides less, so bigger row
+    # blocks may win; hardware sweeps set these without code edits)
+    block_rows = int(os.environ.get("SDFA_SOLVE_BLK", block_rows))
+    eq_tile = int(os.environ.get("SDFA_SOLVE_EQT", eq_tile))
     return _ds_cp(eq_tile, block_rows, interpret, precise, delta)(
         coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
         dsc.p, dsc.t0, dsc.x0)
