@@ -116,6 +116,14 @@ def train_model(
 
         train_loader = _Loader(_train_gen)
         valid_loader = _Loader(lambda: batches_fn(valid_set, shuffle=False))
+        if raw_mode and hp.trainer.get("thread_prefetch", True):
+            # overlap the ~0.2 s/batch numpy window prep with the device
+            # step: a daemon thread keeps 2 batches ready (no fork-under-
+            # JAX hazard — threads, not processes; data/thread_prefetch.py)
+            from .data.thread_prefetch import ThreadPrefetchIterable
+
+            train_loader = ThreadPrefetchIterable(train_loader)
+            valid_loader = ThreadPrefetchIterable(valid_loader)
 
     trainer = Trainer(exp, train_loader=train_loader, valid_loader=valid_loader)
     trainer.train()
