@@ -29,6 +29,7 @@ import numpy as np
 
 from . import functions as fn
 
+from .precision import CONV_PREC as _CONV_PREC
 from .precision import MODEL_PREC as _PREC
 
 
@@ -241,7 +242,7 @@ class Conv1d(_Ext):
             rhs_dilation=(int(self.dilation),),
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
-            precision=_PREC,
+            precision=_CONV_PREC,
         )
         if self.bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -290,7 +291,7 @@ class Conv2d(_Ext):
             rhs_dilation=(dh, dw),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             feature_group_count=self.groups,
-            precision=_PREC,
+            precision=_CONV_PREC,
         )
         if self.bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -333,7 +334,7 @@ class ConvTranspose1d(_Ext):
             lhs_dilation=(s,),
             rhs_dilation=(d,),
             dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=_PREC,
+            precision=_CONV_PREC,
         )
         if self.bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -382,7 +383,7 @@ class ConvTranspose2d(_Ext):
             lhs_dilation=(sh, sw),
             rhs_dilation=(dh, dw),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            precision=_PREC,
+            precision=_CONV_PREC,
         )
         if self.bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
