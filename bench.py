@@ -486,10 +486,10 @@ def main():
     # device time). Reported separately from the per-call median above.
     dt_pipe = None
     if os.environ.get("BENCH_PIPELINED", "1") == "1":
+        pending = nxt = None
         try:  # two in-flight outputs cost ~0.5 GB extra HBM — never let a
             # RESOURCE_EXHAUSTED here sink the headline measurement
             n_pipe = max(n_iter, 4)
-            pending = None
             t0 = time.perf_counter()
             for _ in range(n_pipe):
                 nxt = fn(variables, consts, dsc, sig_dev, starts)
@@ -503,6 +503,9 @@ def main():
             print(f"[bench] pipelined sub-step skipped: {type(e).__name__}",
                   file=sys.stderr, flush=True)
             dt_pipe = None
+            pending = nxt = None  # drop in-flight outputs (~0.7 GB HBM) —
+            # exactly when pressure already caused a failure, keeping them
+            # would make the MFU/realism phases RESOURCE_EXHAUST too
 
     x_realtime = seconds * n_clips / dt
     audio_s = seconds * n_clips

@@ -40,20 +40,27 @@ class ThreadPrefetchIterable:
         q: queue.Queue = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that gives up when the consumer stopped —
+            NEVER a plain q.put: with the queue full and the consumer
+            gone, that blocks forever, leaking the thread and the
+            queued batches."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for item in self.inner:
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put_or_stop(item):
                         return
-                q.put(self._DONE)
+                put_or_stop(self._DONE)
             except BaseException as exc:  # noqa: BLE001 — surface to consumer
-                q.put(exc)
+                put_or_stop(exc)
 
         t = threading.Thread(target=worker, daemon=True,
                              name="sdfa-thread-prefetch")

@@ -67,7 +67,7 @@ class DecodeSolveConsts(NamedTuple):
     the deformation signal rides on the precomputed x0, so truncating the
     small ΔT loses almost nothing (measured 2.4e-6 max vertex error vs
     the f64 oracle, ~40× inside the 1e-4 budget, at 1/3 the MXU passes
-    of the 3-pass split; DESIGN.md §12.4).
+    of the 3-pass split; DESIGN.md §12.5).
     """
 
     basis_s: jnp.ndarray
@@ -79,14 +79,26 @@ class DecodeSolveConsts(NamedTuple):
     x0: jnp.ndarray
 
 
+def _env_int(name: str, fallback: Optional[int]) -> Optional[int]:
+    v = os.environ.get(name)
+    return int(v) if v else fallback
+
+
 def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
-                spec: SolverSpec, eq_tile: int = 512) -> DecodeSolveConsts:
+                spec: SolverSpec,
+                eq_tile: Optional[int] = None) -> DecodeSolveConsts:
     """Build DecodeSolveConsts from the model's PCA subtrees
     ({"compT": (6T|3T, K), "means": (…)}) and the solver consts. Do this
     ONCE per task/bench process and pass the result to
     ``decode_solve_fused`` — it holds ~200 MB of device arrays.
+
+    ``eq_tile=None`` resolves SDFA_SOLVE_EQT (default 512) — the SAME
+    knob decode_solve_free reads, so a tile sweep pads and slices
+    consistently without code edits.
     """
     assert spec.identity_eq, "fused decode+solve needs identity equations"
+    if eq_tile is None:
+        eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
     T = spec.n_tris
     Tp = -(-T // eq_tile) * eq_tile
 
@@ -202,8 +214,8 @@ def decode_solve_free(
     coef_s: jnp.ndarray,
     coef_r: jnp.ndarray,
     dsc: DecodeSolveConsts,
-    eq_tile: int = 512,
-    block_rows: int = 512,
+    eq_tile: Optional[int] = None,
+    block_rows: Optional[int] = None,
     interpret: bool = False,
     precise: Optional[bool] = None,
     delta: Optional[bool] = None,
@@ -226,9 +238,12 @@ def decode_solve_free(
         delta = os.environ.get("SDFA_SOLVE_DELTA", "1") == "1"
     # tile-sweep knobs (delta mode shifts the compute/bandwidth balance —
     # with 1/3 the MXU passes the P re-stream hides less, so bigger row
-    # blocks may win; hardware sweeps set these without code edits)
-    block_rows = int(os.environ.get("SDFA_SOLVE_BLK", block_rows))
-    eq_tile = int(os.environ.get("SDFA_SOLVE_EQT", eq_tile))
+    # blocks may win; hardware sweeps set these without code edits).
+    # None = env with 512 fallback; explicit keyword args always win.
+    if block_rows is None:
+        block_rows = _env_int("SDFA_SOLVE_BLK", 512)
+    if eq_tile is None:
+        eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
     return _ds_cp(eq_tile, block_rows, interpret, precise, delta)(
         coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
         dsc.p, dsc.t0, dsc.x0)

@@ -52,9 +52,20 @@ def test_worker_exception_propagates_with_message():
 def test_early_stop_does_not_hang():
     import threading
 
-    before = threading.active_count()
+    def alive():
+        return [t for t in threading.enumerate()
+                if t.name == "sdfa-thread-prefetch" and t.is_alive()]
+
+    # long producer: worker parked in the item-put retry loop
     for k, _ in enumerate(ThreadPrefetchIterable(_Gen(1000))):
         if k == 2:
             break
-    time.sleep(0.5)  # give the worker time to notice stop
-    assert threading.active_count() <= before + 1
+    # short producer, queue full at exhaustion: the worker is at the
+    # TERMINAL put (_DONE) when the consumer leaves — the historical
+    # leak path (an unbounded q.put there blocks forever)
+    for _ in ThreadPrefetchIterable(_Gen(3)):
+        break
+    deadline = time.time() + 3.0
+    while alive() and time.time() < deadline:
+        time.sleep(0.05)
+    assert not alive(), alive()
