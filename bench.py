@@ -467,8 +467,21 @@ def main():
 
     # warmup / compile (device_get forces real completion — block_until_ready
     # is unreliable over remote-tunnel runtimes)
-    out = fn(variables, consts, dsc, sig_dev, starts)
-    _ = np.asarray(out[:1, :, :8])
+    try:
+        out = fn(variables, consts, dsc, sig_dev, starts)
+        _ = np.asarray(out[:1, :, :8])
+    except Exception as e:
+        if dsc is None:
+            raise
+        # never let a fused-solve kernel failure (Mosaic regression, VMEM
+        # pressure at an unusual shape) sink the headline: fall back to
+        # the XLA planes path and re-warm
+        print(f"[bench] fused decode+solve failed ({type(e).__name__}: "
+              f"{e}); falling back to the XLA planes path",
+              file=sys.stderr, flush=True)
+        dsc = None
+        out = fn(variables, consts, dsc, sig_dev, starts)
+        _ = np.asarray(out[:1, :, :8])
     assert out.shape == (n_windows, 3, 5023), out.shape
 
     n_iter = int(os.environ.get("BENCH_ITERS", 10))
