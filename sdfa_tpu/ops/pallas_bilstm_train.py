@@ -359,7 +359,12 @@ def _fwd_impl(xp, w_hh, block_rows: int, interpret: bool, precise: bool):
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the double-buffered xp/gates streams at blk=256,
+            # gdim=1024 total ~13 MB — past Mosaic's default 16 MB
+            # scoped budget once compiler temps land on top
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, w_hh)
     return out[:, :rows], gates[:, :, :rows], c[:, :, :rows]
@@ -407,7 +412,12 @@ def _bwd_impl(gates, c, w_hht, dout, block_rows: int, interpret: bool,
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the double-buffered xp/gates streams at blk=256,
+            # gdim=1024 total ~13 MB — past Mosaic's default 16 MB
+            # scoped budget once compiler temps land on top
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(gates, c, w_hht, dout)
     return dg[:, :, :rows]
