@@ -69,6 +69,36 @@ class TestStreaming:
         # most frames must arrive BEFORE flush (it's streaming, not batch)
         assert n_live > len(got) * 0.55, (n_live, len(got))
 
+    def test_matches_offline_at_bucket_boundary_length(self, shipped_task):
+        """ADVICE r2 #1 end-to-end: a clip whose frame grid lands exactly
+        on the 256-frame jit bucket with MINIMAL right slack — the class
+        where the last windows' deltas historically hit the offline
+        right-edge SG fits while streaming used interior taps."""
+        from sdfa_tpu.audio.pipeline import WindowSpec
+
+        hp, task = shipped_task
+        wspec = WindowSpec(hp)
+        n_pick = None
+        for t_target in range(280, 420):
+            n = t_target * wspec.hop_size + wspec.win_size
+            idx, _, _, _, t_total = wspec.frame_grid(n, bucket=256)
+            # minimal slack is 5 (the +4 interiority pad + 1); demand <= 6
+            if t_total % 256 == 0 and t_total - int(idx.max()) <= 6:
+                n_pick = n
+                break
+        assert n_pick is not None, "no boundary length found in sweep"
+
+        sr = int(hp.audio.sample_rate)
+        sig = _sig(hp, seconds=n_pick / sr)[:n_pick]
+        assert len(sig) == n_pick
+        ts_ref, verts_ref = task.generate_vertices(sig, 0)
+        sess = task.stream(0, emit_batch=16)
+        got = list(sess.push(sig))
+        got.extend(sess.flush())
+        assert [ts for ts, _ in got] == list(ts_ref)
+        np.testing.assert_allclose(
+            np.stack([v for _, v in got]), verts_ref, atol=5e-5)
+
     def test_lookahead_bound(self, shipped_task):
         """Every frame arrives within lookahead_s + one block of audio of
         its timestamp: push sample-exact and record arrival positions."""
