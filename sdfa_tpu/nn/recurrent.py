@@ -23,12 +23,7 @@ from .precision import MODEL_PREC as _PREC
 
 _SCAN_UNROLL = 1  # >1 balloons compile time over the remote tunnel without speedup
 
-# Fused Pallas sequence kernel (ops/pallas_lstm.py): weights + state resident
-# in VMEM, double-buffered input streaming — opt-in while being qualified on
-# real hardware.
 import os as _os
-
-_USE_PALLAS = _os.environ.get("SDFA_PALLAS_LSTM", "0") == "1"
 
 # tests set this to run the fused Pallas kernels in interpret mode on CPU
 _FREQ_FUSED_INTERPRET = False
@@ -67,10 +62,9 @@ def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
 
 
 def _run_lstm(x_proj, w_hh, bias_sum, hidden_size, reverse=False):
-    if _USE_PALLAS and jax.default_backend() == "tpu":
-        from ..ops.pallas_lstm import lstm_sequence_pallas
-
-        return lstm_sequence_pallas(x_proj, w_hh, bias_sum, reverse=reverse)
+    # single-direction path (GRU-less stacks, odd layer widths); the fused
+    # bidirectional kernels (ops/pallas_bilstm.py, f32 accumulation) are
+    # selected one level up in LstmStack/FreqLstm.
     return _lstm_scan(x_proj, w_hh, bias_sum, hidden_size, reverse=reverse)
 
 
