@@ -34,12 +34,15 @@ _TRAIN_FUSED_INTERPRET = False
 
 def _pallas_train_eligible(env_name: str) -> bool:
     """Gating for the fused biLSTM training core (custom VJP,
-    ops/pallas_bilstm_train.py). env=1 enables on TPU, default off until
-    hardware-qualified. Partition-aware: a sharded train step splits the
-    rows axis and runs the kernels per shard."""
+    ops/pallas_bilstm_train.py). Hardware-qualified round 3
+    (tools/qualify_train_kernel.py: 88.6 vs 96.7 ms/step at batch 100
+    windows, 5-step loss trajectory within 1e-6 rel) → default ON for
+    TPU training; env=0 restores the scan path. Partition-aware: a
+    sharded train step splits the rows axis and runs the kernels per
+    shard."""
     if _TRAIN_FUSED_INTERPRET:
         return True
-    if _os.environ.get(env_name, "0") != "1":
+    if _os.environ.get(env_name, "1") != "1":
         return False
     return jax.default_backend() == "tpu"
 

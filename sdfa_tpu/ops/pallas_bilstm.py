@@ -35,7 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_freq_lstm import _dot_f32, row_block, rows_partitioned
+from .pallas_freq_lstm import (_dot_f32, kernel_side_effects, row_block,
+                               rows_partitioned)
 
 
 def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
@@ -173,7 +174,8 @@ def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=kernel_side_effects()),
         interpret=interpret,
     )(x_trc, w_ih, w_hh, gb)
     out = jnp.swapaxes(out, 0, 1)  # (rows', T, 2H)

@@ -53,7 +53,7 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as _P
 
-from .pallas_freq_lstm import _dot_f32, row_block
+from .pallas_freq_lstm import _dot_f32, kernel_side_effects, row_block
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -360,7 +360,7 @@ def _fwd_impl(xp, w_hh, block_rows: int, interpret: bool, precise: bool):
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
+            has_side_effects=kernel_side_effects(),
             # the double-buffered xp/gates streams at blk=256,
             # gdim=1024 total ~13 MB — past Mosaic's default 16 MB
             # scoped budget once compiler temps land on top
@@ -413,7 +413,7 @@ def _bwd_impl(gates, c, w_hht, dout, block_rows: int, interpret: bool,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
+            has_side_effects=kernel_side_effects(),
             # the double-buffered xp/gates streams at blk=256,
             # gdim=1024 total ~13 MB — past Mosaic's default 16 MB
             # scoped budget once compiler temps land on top

@@ -39,6 +39,7 @@ directly (xᵀ·W via dot_general) — no in-kernel transpose.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -49,6 +50,21 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as _P
+
+
+def kernel_side_effects() -> bool:
+    """has_side_effects on the recurrence kernels' custom calls.
+
+    True pins a kernel in place even where XLA cannot see a use of its
+    outputs — but it also marks every program containing it EFFECTFUL,
+    which knocks jax dispatch off the fast path. Over the axon tunnel
+    that is ruinous: the round-3 train-kernel qualification measured the
+    SAME fused step at 556 ms/step effectful vs 89 ms/step not (scan
+    97 ms) — the whole round-2 "fused loses 5×" verdict was dispatch,
+    not kernel time. Every kernel here returns genuine pallas_call
+    results its consumer reads, so dataflow alone keeps them alive;
+    default off (SDFA_KERNEL_SIDEFX=1 restores the pinned behavior)."""
+    return os.environ.get("SDFA_KERNEL_SIDEFX", "0") == "1"
 
 
 def rows_partitioned(impl, rule: str, need_replication: tuple):
@@ -287,7 +303,8 @@ def _freq_fused_impl(x, w_ih, w_hh, gate_bias, w_proj, b_proj,
             pltpu.VMEM((2, n_in, blk), jnp.float32),                # x rev buf
             pltpu.SemaphoreType.DMA((4,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=kernel_side_effects()),
         interpret=interpret,
     )(x_fcr, w_ih, w_hh, gb, w_proj_4d, bp)
     return out[:rows]
