@@ -47,6 +47,16 @@ def _pallas_train_eligible(env_name: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _lstm_passes() -> int:
+    """bf16 passes per matmul inside the fused INFERENCE LSTM kernels
+    (SDFA_LSTM_PASSES ∈ {1,2,3}, default 3 = hi/lo split both operands).
+    2 splits only the weight operand; 1 is plain bf16 products.
+    Lower passes trade accuracy for MXU time — qualify end-to-end
+    against the 1e-4 serving budget before lowering (see
+    artifacts/lstm_precision_sim/)."""
+    return int(_os.environ.get("SDFA_LSTM_PASSES", "3"))
+
+
 def _pallas_inference_eligible(training: bool, env_name: str) -> bool:
     """Shared gating for the fused inference kernels: no autodiff rule →
     training keeps the scan path. Multi-chip is fine: the kernels are
@@ -258,7 +268,8 @@ class LSTM(_RNNBase):
                 gb2 = (None if dir_params[0][2] is None
                        else jnp.stack([dir_params[0][2], dir_params[1][2]]))
                 out = bilstm_layer_fused(out, w_ih2, w_hh2, gb2,
-                                         interpret=_FREQ_FUSED_INTERPRET)
+                                         interpret=_FREQ_FUSED_INTERPRET,
+                                         precise=_lstm_passes())
             elif fused_train:
                 from ..ops.pallas_bilstm_train import bilstm_core
 
@@ -380,6 +391,7 @@ class FreqLstm(nn.Module):
             out = freq_lstm_fused(
                 x, w_ih, w_hh, gb, w_proj, b_proj,
                 interpret=_FREQ_FUSED_INTERPRET,
+                precise=_lstm_passes(),
             ).reshape(bsz, t, self.output_size)
         else:
             h = lstm(x, training=training)  # (B·T, F, 2H)

@@ -215,7 +215,11 @@ def bilstm_layer_fused(
     gdim = w_ih.shape[2]
     gb = (gate_bias if gate_bias is not None
           else jnp.zeros((2, gdim), x.dtype))
-    return _bilstm_cp(block_rows, precise, interpret)(x, w_ih, w_hh, gb)
+    # cache on the NORMALIZED pass count (hash(True) == hash(1) — raw
+    # bool/int knobs collide in the lru cache)
+    from .pallas_freq_lstm import _passes
+    return _bilstm_cp(block_rows, _passes(precise), interpret)(
+        x, w_ih, w_hh, gb)
 
 
 def bilstm_layer_reference(x, w_ih, w_hh, gate_bias):

@@ -490,7 +490,10 @@ def bilstm_core(xp: jnp.ndarray, w_hh: jnp.ndarray, block_rows: int = 256,
     directions; w_hh: (2, H, 4H). Returns (T, rows, 2H) — forward h in
     [..., :H], reverse h in [..., H:] (torch concat order).
     """
-    return _core(block_rows, interpret, precise)(xp, w_hh)
+    from .pallas_freq_lstm import _passes
+
+    # cache on the normalized pass count: hash(True) == hash(1)
+    return _core(block_rows, interpret, _passes(precise))(xp, w_hh)
 
 
 def bilstm_core_reference(xp, w_hh):

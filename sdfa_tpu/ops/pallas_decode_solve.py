@@ -244,7 +244,10 @@ def decode_solve_free(
         block_rows = _env_int("SDFA_SOLVE_BLK", 512)
     if eq_tile is None:
         eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
-    return _ds_cp(eq_tile, block_rows, interpret, precise, delta)(
+    from .pallas_freq_lstm import _passes
+
+    # cache on the normalized pass count: hash(True) == hash(1)
+    return _ds_cp(eq_tile, block_rows, interpret, _passes(precise), delta)(
         coef_s, coef_r, dsc.basis_s, dsc.means_s, dsc.basis_r, dsc.means_r,
         dsc.p, dsc.t0, dsc.x0)
 

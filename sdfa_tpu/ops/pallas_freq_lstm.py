@@ -119,40 +119,68 @@ def row_block(rows: int, block_rows: int, align: int, floor: int = 128) -> int:
     return -(-blk // align) * align
 
 
-def _dot_f32(a, b, precise: bool = True):
-    """f32 matmul with 3-pass bf16 error compensation (HIGH-precision
-    semantics) — Mosaic's plain f32 dot truncates operands to bf16."""
-    if not precise:
-        return jax.lax.dot_general(
-            a, b, (((a.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    a_hi = a.astype(jnp.bfloat16)
-    b_hi = b.astype(jnp.bfloat16)
-    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+def _passes(precise) -> int:
+    """Normalize the kernel precision knob: True→3 (hi/lo split both
+    operands), 2→2 (split only the weight operand), False/1→1
+    (plain bf16 product).
+
+    Callers that cache on the knob MUST cache the normalized int:
+    ``hash(True) == hash(1)``, so a raw (…, True) lru entry would be
+    silently returned for (…, 1) and vice versa."""
+    if precise is True:
+        return 3
+    if precise is False:
+        return 1
+    return int(precise)
+
+
+def _dot_f32(a, b, precise=True):
+    """MXU matmul with f32 accumulation at 1/2/3 bf16 passes.
+
+    3 (default): hi/lo error compensation on BOTH operands — HIGH-
+    precision semantics. 2: split only ``b`` (the weight operand — its
+    truncation dominates the LSTM recurrence error; splitting the
+    activation side instead measured barely better than 1-pass),
+    ``a`` rounds to bf16. 1: both operands round to bf16 — exactly what
+    Mosaic does to a plain f32 dot anyway; the cast is explicit so
+    interpret mode (CPU tests, simulations) shows the same truncation
+    the hardware applies."""
+    n = _passes(precise)
     dims = (((a.ndim - 1,), (0,)), ((), ()))
 
     def bf16_dot(x, y):
         return jax.lax.dot_general(x, y, dims,
                                    preferred_element_type=jnp.float32)
 
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    if n == 1:
+        return bf16_dot(a_hi, b_hi)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if n == 2:
+        return bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return bf16_dot(a_hi, b_hi) + bf16_dot(a_hi, b_lo) + bf16_dot(a_lo, b_hi)
 
 
-def _dot_t_f32(a_t, b, precise: bool = True):
-    """(C, blk)ᵀ @ (C, G) with f32 accumulation — contracts dim 0 of both."""
+def _dot_t_f32(a_t, b, precise=True):
+    """(C, blk)ᵀ @ (C, G) with f32 accumulation — contracts dim 0 of
+    both. Same 1/2/3-pass semantics as ``_dot_f32`` (2 splits b)."""
+    n = _passes(precise)
     dims = (((0,), (0,)), ((), ()))
 
     def dot(x, y):
         return jax.lax.dot_general(x, y, dims,
                                    preferred_element_type=jnp.float32)
 
-    if not precise:
-        return dot(a_t, b)
     a_hi = a_t.astype(jnp.bfloat16)
     b_hi = b.astype(jnp.bfloat16)
-    a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if n == 1:
+        return dot(a_hi, b_hi)
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if n == 2:
+        return dot(a_hi, b_hi) + dot(a_hi, b_lo)
+    a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
 
 
@@ -352,7 +380,9 @@ def freq_lstm_fused(
           else jnp.zeros((2, gdim), x.dtype))
     bp = (b_proj if b_proj is not None
           else jnp.zeros((w_proj.shape[1],), x.dtype))
-    return _freq_cp(block_rows, precise, interpret)(
+    # cache on the NORMALIZED pass count: hash(True) == hash(1), so raw
+    # bool/int knobs would collide in the lru cache (see _passes)
+    return _freq_cp(block_rows, _passes(precise), interpret)(
         x, w_ih, w_hh, gb, w_proj, bp)
 
 

@@ -256,3 +256,68 @@ class TestBilstmKernel:
             recurrent._FREQ_FUSED_INTERPRET = False
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-6)
+
+
+class TestReducedPasses:
+    """SDFA_LSTM_PASSES plumbing: _dot_f32 at 2/1 passes casts operands to
+    bf16 EXPLICITLY (what Mosaic does to a plain f32 dot on the MXU),
+    so interpret mode shows the hardware's truncation. End-to-end error
+    through the full serving pipeline is measured in
+    artifacts/lstm_precision_sim/ — here we pin the per-layer ordering:
+    err(3) < err(2) < err(1), with 3-pass inside the parity budget."""
+
+    def test_pass_count_error_ordering(self, rng):
+        rows, F, C, H, OUT = 136, 8, 64, 128, 256
+        x = _rand(rng, (rows, F, C), 1.0)
+        w_ih = _rand(rng, (2, C, 4 * H))
+        w_hh = _rand(rng, (2, H, 4 * H))
+        gb = _rand(rng, (2, 4 * H))
+        w_proj = _rand(rng, (F * 2 * H, OUT), 0.02)
+        b_proj = _rand(rng, (OUT,))
+        ref = freq_lstm_reference(x, w_ih, w_hh, gb, w_proj, b_proj)
+        errs = {}
+        for passes in (3, 2, 1):
+            out = freq_lstm_fused(x, w_ih, w_hh, gb, w_proj, b_proj,
+                                  block_rows=128, interpret=True,
+                                  precise=passes)
+            errs[passes] = float(jnp.abs(out - ref).max())
+        assert errs[3] < 2e-5
+        assert errs[3] < errs[2] < errs[1]
+        # plain bf16 recurrence stays bounded (not catastrophic): the sim
+        # qualifies the end-to-end budget; this guards degeneration
+        assert errs[1] < 5e-2
+
+    def test_bool_int_cache_no_collision(self, rng):
+        """hash(True) == hash(1): a raw (…, True) lru entry used to be
+        returned for precise=1 when the True variant was built first —
+        the 1-pass request silently ran 3-pass (and vice versa). The
+        entry points now cache the normalized pass count."""
+        rows, F, C, H, OUT = 136, 4, 64, 128, 256
+        x = _rand(rng, (rows, F, C), 1.0)
+        w_ih = _rand(rng, (2, C, 4 * H))
+        w_hh = _rand(rng, (2, H, 4 * H))
+        w_proj = _rand(rng, (F * 2 * H, OUT), 0.02)
+        ref = freq_lstm_reference(x, w_ih, w_hh, None, w_proj, None)
+        args = (x, w_ih, w_hh, None, w_proj, None)
+        # build the True entry FIRST, then request 1-pass
+        e_true = float(jnp.abs(freq_lstm_fused(
+            *args, block_rows=128, interpret=True, precise=True) - ref).max())
+        e_one = float(jnp.abs(freq_lstm_fused(
+            *args, block_rows=128, interpret=True, precise=1) - ref).max())
+        assert e_true < 2e-5
+        assert e_one > 10 * e_true, (
+            f"precise=1 returned the 3-pass variant (cache collision): "
+            f"{e_one:.2e} vs {e_true:.2e}")
+
+    def test_bool_compat(self, rng):
+        """precise=True/False still mean 3/1 passes (train kernel callers)."""
+        from sdfa_tpu.ops.pallas_freq_lstm import _passes
+        assert _passes(True) == 3 and _passes(False) == 1
+        assert _passes(2) == 2 and _passes(1) == 1 and _passes(3) == 3
+
+    def test_env_knob_reaches_kernels(self, monkeypatch):
+        from sdfa_tpu.nn.recurrent import _lstm_passes
+        monkeypatch.setenv("SDFA_LSTM_PASSES", "2")
+        assert _lstm_passes() == 2
+        monkeypatch.delenv("SDFA_LSTM_PASSES")
+        assert _lstm_passes() == 3
