@@ -171,7 +171,11 @@ class TestModuleIntegration:
         variables = mod.init(jax.random.PRNGKey(0), x)
         return mod, variables, x
 
-    def test_fused_equals_scan_and_tree_identical(self, rng):
+    def test_fused_equals_scan_and_tree_identical(self, rng, monkeypatch):
+        # pin 3-pass: this test isolates the module↔kernel plumbing at
+        # full precision; the default-1-pass e2e budget is qualified by
+        # artifacts/lstm_precision_sim + the task-level 1e-4 tests
+        monkeypatch.setenv("SDFA_LSTM_PASSES", "3")
         mod, variables, x = self._module_and_vars(rng)
         ref = mod.apply(variables, x)
         recurrent._FREQ_FUSED_INTERPRET = True
@@ -224,8 +228,10 @@ class TestBilstmKernel:
                                  interpret=True)
         assert float(jnp.abs(out - ref).max()) < 2e-5
 
-    def test_lstm_module_fused_equals_scan(self, rng):
-        """2-layer biLSTM module: fused layers ≡ scan path, same params."""
+    def test_lstm_module_fused_equals_scan(self, rng, monkeypatch):
+        """2-layer biLSTM module: fused layers ≡ scan path, same params
+        (3-pass pinned — plumbing test, not the e2e budget)."""
+        monkeypatch.setenv("SDFA_LSTM_PASSES", "3")
         mod = recurrent.LSTM(input_size=256, hidden_size=256, num_layers=2,
                              bias=False, bidirectional=True)
         x = _rand(rng, (6, 12, 256), 1.0)
@@ -320,4 +326,6 @@ class TestReducedPasses:
         monkeypatch.setenv("SDFA_LSTM_PASSES", "2")
         assert _lstm_passes() == 2
         monkeypatch.delenv("SDFA_LSTM_PASSES")
-        assert _lstm_passes() == 3
+        # default 1: hardware-qualified (DESIGN §12.7 — 812→1056× at
+        # unchanged trained-checkpoint parity)
+        assert _lstm_passes() == 1
