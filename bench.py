@@ -30,6 +30,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# Global wall-clock budget (VERDICT r3 #1): the driver kills bench runs
+# that exceed its time budget (round 3: rc=124, no number captured). The
+# headline JSON prints IMMEDIATELY after the timed loop and again as the
+# final line; every optional phase (pipelined, MFU, realism, train-step)
+# first checks the remaining budget and skips with a stderr note when
+# tight, so the worst case is bounded.
+_T0 = time.time()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500.0))
+
+
+def _left() -> float:
+    return _BUDGET_S - (time.time() - _T0)
+
+
+def _note(msg: str) -> None:
+    print(f"[bench t={time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _phase_ok(name: str, need_s: float) -> bool:
+    if _left() >= need_s:
+        return True
+    _note(f"skipping {name}: {_left():.0f}s left < {need_s:.0f}s needed "
+          f"(BENCH_BUDGET_S={_BUDGET_S:.0f})")
+    return False
+
 
 def _ensure_pca(root: str):
     """Random PCA matrices with the shipped dims (bench needs shapes, not
@@ -181,6 +207,8 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     # than sinking the whole realism line
     x_rt = None
     try:
+        if not _phase_ok("trained-throughput", 120):
+            raise TimeoutError("budget exhausted")
         out = pipeline(trained_vars, consts, dsc, batch, starts)  # warmup (cache hit)
         _ = np.asarray(out[:1, :, :8])
         times = []
@@ -226,7 +254,8 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
         err = max(err, float(np.abs(verts_fused[idx[i]] - verts_host).max()))
     task = None  # free the serving working set before the train-step phase
     train_stats = {}
-    if os.environ.get("BENCH_TRAIN_BENCH", "1") == "1":
+    if (os.environ.get("BENCH_TRAIN_BENCH", "1") == "1"
+            and _phase_ok("train-step bench", 240)):
         try:
             train_stats = _train_throughput(root)
         except Exception as e:  # never sink the realism line
@@ -250,8 +279,10 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
 
 
 def _wait_for_backend(
-        attempts: int = int(os.environ.get("BENCH_WAIT_ATTEMPTS", 16)),
-        sleep_s: float = float(os.environ.get("BENCH_WAIT_SLEEP", 45.0)),
+        attempts: int = int(os.environ.get("BENCH_WAIT_ATTEMPTS", 4)),
+        sleep_s: float = float(os.environ.get("BENCH_WAIT_SLEEP", 30.0)),
+        probe_timeout_s: float = float(
+            os.environ.get("BENCH_WAIT_PROBE_TIMEOUT", 120.0)),
 ) -> None:
     """Probe TPU backend init in a SUBPROCESS and retry on failure.
 
@@ -260,23 +291,25 @@ def _wait_for_backend(
     probing in a child keeps this process clean until the tunnel answers.
     Gives up (and lets the in-process init raise the real error) after
     ``attempts`` tries so a genuinely dead tunnel still fails loudly.
+    Worst case with defaults ≈ 4×120 + 3×30 ≈ 9.5 min (VERDICT r3 #1c —
+    the old defaults allowed ~76 min of retries, which alone could eat
+    the driver's whole time budget).
     """
     import subprocess
 
     probe = "import jax; jax.devices()"
     for i in range(attempts):
         try:
-            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
-                               capture_output=True)
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout_s, capture_output=True)
             if r.returncode == 0:
                 return
             msg = (r.stderr or b"").decode(errors="replace").strip()[-200:]
         except subprocess.TimeoutExpired:
-            msg = "probe timed out after 240s"
+            msg = f"probe timed out after {probe_timeout_s:.0f}s"
         if i + 1 < attempts:
-            print(f"[bench] TPU backend probe {i + 1}/{attempts} failed "
-                  f"({msg}); retrying in {sleep_s:.0f}s", file=sys.stderr,
-                  flush=True)
+            _note(f"TPU backend probe {i + 1}/{attempts} failed "
+                  f"({msg}); retrying in {sleep_s:.0f}s")
             time.sleep(sleep_s)
 
 
@@ -288,9 +321,29 @@ def main():
 
     # persistent compilation cache: the driver's bench run should not pay
     # the multi-minute TPU compile more than once
-    os.makedirs("/tmp/sdfa_jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/sdfa_jax_cache")
+    cache_dir = "/tmp/sdfa_jax_cache"
+    cache_cold = not os.path.isdir(cache_dir) or not os.listdir(cache_dir)
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # Cold-cache safety (VERDICT r3 #1d): the FIRST Mosaic compile per
+    # shape takes ~20 min over the axon tunnel (CLAUDE.md). On a machine
+    # with an empty compile cache, warming the three fused inference
+    # kernels could alone exceed the driver's budget, so the headline
+    # falls back to the pure-XLA paths (proven ≥520× realtime, cached in
+    # minutes) rather than risking an unbounded warmup. Warm caches (the
+    # normal case — the builder pre-warms this machine) keep the fused
+    # kernels. BENCH_COLD_SAFE=0 disables the fallback.
+    kernels_mode = "fused"
+    if cache_cold and os.environ.get("BENCH_COLD_SAFE", "1") == "1":
+        for gate in ("SDFA_PALLAS_BILSTM", "SDFA_PALLAS_FREQ_LSTM",
+                     "SDFA_PALLAS_SOLVE"):
+            os.environ.setdefault(gate, "0")
+        kernels_mode = "xla_cold_safe"
+        _note("compile cache is cold: headline uses the XLA paths "
+              "(fused Mosaic kernels would need ~20 min/shape first "
+              "compiles); set BENCH_COLD_SAFE=0 to override")
     import jax.numpy as jnp
 
     from sdfa_tpu.audio import pipeline as audio_pipeline
@@ -492,13 +545,37 @@ def main():
         _ = np.asarray(out[:1, :, :8])  # force completion
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]  # median, per-call blocked
+    x_realtime = seconds * n_clips / dt
+    audio_s = seconds * n_clips
+
+    headline = {
+        "metric": "wav_to_vertices_throughput",
+        "value": round(x_realtime, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(x_realtime / 100.0, 3),
+        # iteration spread (VERDICT r2 #8): the shared tunnel makes single
+        # numbers noisy — carry the variance story in the artifact itself
+        "x_realtime_min": round(audio_s / max(times), 2),
+        "x_realtime_median": round(x_realtime, 2),
+        "x_realtime_max": round(audio_s / min(times), 2),
+        "iters": len(times),
+        "kernels": kernels_mode,
+    }
+    # print the headline IMMEDIATELY (VERDICT r3 #1a): if any later phase
+    # blows the driver's time budget, this line is already on stdout. It
+    # prints again (possibly enriched) as the final line — the driver
+    # takes the last JSON line.
+    print(json.dumps(headline), flush=True)
+    _note(f"headline measured: {x_realtime:.1f}x realtime; "
+          f"optional phases follow")
 
     # pipelined steady state: keep one call in flight, sync call i-1 while
     # call i computes — how a serving loop actually runs (the host-side
     # dispatch + result sync of one batch hides under the next batch's
     # device time). Reported separately from the per-call median above.
     dt_pipe = None
-    if os.environ.get("BENCH_PIPELINED", "1") == "1":
+    if (os.environ.get("BENCH_PIPELINED", "1") == "1"
+            and _phase_ok("pipelined", 60 + 2 * max(n_iter, 4) * dt)):
         pending = nxt = None
         try:  # two in-flight outputs cost ~0.5 GB extra HBM — never let a
             # RESOURCE_EXHAUSTED here sink the headline measurement
@@ -519,9 +596,8 @@ def main():
             pending = nxt = None  # drop in-flight outputs (~0.7 GB HBM) —
             # exactly when pressure already caused a failure, keeping them
             # would make the MFU/realism phases RESOURCE_EXHAUST too
-
-    x_realtime = seconds * n_clips / dt
-    audio_s = seconds * n_clips
+    if dt_pipe is not None:
+        headline["x_realtime_pipelined"] = round(audio_s / dt_pipe, 2)
 
     # ---- FLOPs / MFU / roofline accounting (VERDICT r2 #3) ----
     # ×realtime alone says nothing about headroom; report what fraction of
@@ -567,7 +643,8 @@ def main():
         return out, sorted(ts)[len(ts) // 2]
 
     stages = None
-    if use_overlap and os.environ.get("BENCH_MFU", "1") == "1":
+    if (use_overlap and os.environ.get("BENCH_MFU", "1") == "1"
+            and _phase_ok("mfu", 300)):
         try:
             stages = {"pipeline": _stage_stats(
                 pipeline_fn, (variables, consts, dsc, sig_dev, starts), dt)}
@@ -586,27 +663,19 @@ def main():
         except Exception as e:  # never let accounting sink the headline
             print(f"[bench] MFU accounting skipped: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
-
-    headline = {
-        "metric": "wav_to_vertices_throughput",
-        "value": round(x_realtime, 2),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(x_realtime / 100.0, 3),
-        # iteration spread (VERDICT r2 #8): the shared tunnel makes single
-        # numbers noisy — carry the variance story in the artifact itself
-        "x_realtime_min": round(audio_s / max(times), 2),
-        "x_realtime_median": round(x_realtime, 2),
-        "x_realtime_max": round(audio_s / min(times), 2),
-        "iters": len(times),
-    }
-    if dt_pipe is not None:
-        headline["x_realtime_pipelined"] = round(audio_s / dt_pipe, 2)
     if stages is not None:
         headline["stages"] = stages
 
-    # realism line (trained checkpoint + f64-oracle parity) prints BEFORE
-    # the headline — the driver records the last JSON line
-    if os.environ.get("BENCH_REALISM", "1") == "1":
+    # realism line (trained checkpoint + f64-oracle parity) prints its own
+    # JSON line; the headline reprints after it as the final line — the
+    # driver records the last JSON line
+    realism_need = 600.0
+    if not os.path.exists(os.path.join(
+            os.environ.get("BENCH_TRAIN_DIR", "/tmp/bench_trained_run"),
+            "last.ckpt")):
+        realism_need += 300.0  # must also train the tiny checkpoint
+    if (os.environ.get("BENCH_REALISM", "1") == "1"
+            and _phase_ok("realism", realism_need)):
         out = None      # free phase-1 device buffers (result + signals):
         sig_dev = None  # the 64-clip working set is a large HBM fraction
         try:
@@ -616,7 +685,8 @@ def main():
             print(f"[bench] realism phase failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
 
-    print(json.dumps(headline))
+    _note("done; reprinting headline as the final JSON line")
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
