@@ -128,18 +128,26 @@ class PrefetchLoader:
             index_q.put(None)
 
         received = 0
+        empty_after_exit = 0
         try:
             while received < len(batches):
                 try:
                     bid, payload = result_q.get(timeout=5.0)
                 except queue_mod.Empty:
                     # a worker can die without reporting (OOM-kill, _exit)
-                    # — fail loudly instead of blocking forever
-                    dead = [w.pid for w in workers if not w.is_alive()]
-                    if len(dead) == len(workers):
+                    # — fail loudly instead of blocking forever. Workers
+                    # that finished all their index-queue work exit CLEANLY
+                    # (exitcode 0) while their results may still be in the
+                    # queue's feeder pipe on a loaded host, so a clean exit
+                    # is NOT death (the round-3 full-suite flake was this
+                    # false positive); only nonzero exitcodes are.
+                    exited = [w for w in workers if not w.is_alive()]
+                    abnormal = [w.pid for w in exited
+                                if w.exitcode not in (0, None)]
+                    if len(abnormal) == len(workers):
                         raise RuntimeError(
                             f"all {len(workers)} prefetch workers died "
-                            f"(pids {dead}) with {len(batches) - received} "
+                            f"(pids {abnormal}) with {len(batches) - received} "
                             f"batches outstanding. If they died at startup, "
                             f"the usual cause is an entry script without the "
                             f"`if __name__ == '__main__':` guard that "
@@ -147,7 +155,19 @@ class PrefetchLoader:
                             f"worker stderr above); SDFA_PREFETCH_MP=fork "
                             f"restores fork workers."
                         )
+                    if len(exited) == len(workers):
+                        # all exited (some cleanly) but batches are still
+                        # outstanding: give the feeder pipes a generous
+                        # grace window before declaring the data lost
+                        empty_after_exit += 1
+                        if empty_after_exit >= 6:  # ≥30 s of silence
+                            raise RuntimeError(
+                                f"all prefetch workers exited but "
+                                f"{len(batches) - received} batches never "
+                                f"arrived (abnormal exits: {abnormal or None})"
+                            )
                     continue
+                empty_after_exit = 0
                 received += 1
                 if isinstance(payload, _WorkerFailure):
                     raise RuntimeError(
