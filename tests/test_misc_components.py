@@ -47,6 +47,54 @@ class TestVisualizer:
         img = visualizer.plot_grid(items)
         assert img.ndim == 3 and img.shape[2] == 3
 
+    def test_plot_item_rows_and_modes(self):
+        """Reference plot() surface: rows of plot_items, image + colorbar,
+        (x, y) curve pair, CHW image coercion, index labels."""
+        pi = visualizer.plot_item
+        rng = np.random.default_rng(2)
+        spec = pi(rng.normal(size=(16, 24)), title="spec",
+                  index_labels=["a"] * 8 + ["b"] * 8 + ["c"] * 8)
+        curve = pi((np.arange(32.0), np.sin(np.arange(32.0) / 4)),
+                   title="xy")
+        rgb_chw = pi(rng.uniform(size=(3, 10, 12)), title="chw")
+        assert rgb_chw["item"].shape == (10, 12, 3)  # CHW → HWC coercion
+        img = visualizer.plot([spec, curve], rgb_chw, suptitle="grid")
+        assert img.ndim == 3 and img.shape[2] == 3
+
+    def test_rectangles_mode(self):
+        pi = visualizer.plot_item(
+            np.array([0.3, 0.9, 0.5]), title="bars",
+            labels=["p", "m", "e"], rectangle=True)
+        img = visualizer.plot(pi)
+        assert img.ndim == 3 and img.shape[2] == 3
+
+    def test_aligned_transcription_strip(self):
+        """The S20 mode the reference ships broken (its Transcription
+        import target doesn't exist): audio + word-onset markers."""
+        sr = 8000
+        sig = np.sin(np.arange(sr * 2) * 0.05).astype(np.float32)
+        tr = visualizer.Transcription(words=[
+            visualizer.Word("hello", 0.20, 0.55),
+            visualizer.Word("world", 0.80, 1.30),
+        ])
+        assert tr.transcript == "hello world"
+        item = visualizer.plot_item(sig, title="utt", sr=sr,
+                                    aligned_transcription=tr)
+        img = visualizer.plot(item)
+        assert img.ndim == 3 and img.shape[2] == 3
+        # word markers must land inside the strip: green dash-dot lines are
+        # drawn at start*sr — verify via the draw fn running without the
+        # reference's ImportError and producing non-blank output
+        assert img.std() > 0
+
+    def test_value_range_same_mode(self):
+        pi = visualizer.plot_item
+        a = pi(np.zeros((4, 4)), title="lo", vmin=0.0, vmax=1.0)
+        b = pi(np.ones((4, 4)), title="hi", vmin=-2.0, vmax=3.0)
+        grid = visualizer._GridLayout([[a, b]])
+        grid.set_value_range(None, None, mode="same")
+        assert a.vmin == b.vmin == -2.0 and a.vmax == b.vmax == 3.0
+
 
 class TestLpc:
     def test_whitens_ar_signal(self):
