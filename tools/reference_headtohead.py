@@ -33,7 +33,8 @@ is a single CUDA GPU for the forward — the per-frame CPU solve is its
 mesh-reconstruction cost on ANY backend.
 
 Usage: python tools/reference_headtohead.py [seconds] (default 8).
-Writes artifacts/ref_headtohead_r3/RESULTS.json and prints one JSON line.
+Writes artifacts/ref_headtohead_r4/RESULTS.json (override dir name with
+HTH_OUT) and prints one JSON line.
 """
 
 import ctypes
@@ -290,7 +291,8 @@ def main():
             "manager, viewer/frame.py)."
         ),
     }
-    out_dir = os.path.join(ROOT, "artifacts", "ref_headtohead_r3")
+    out_dir = os.path.join(
+        ROOT, "artifacts", os.environ.get("HTH_OUT", "ref_headtohead_r4"))
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "RESULTS.json"), "w") as fp:
         json.dump(result, fp, indent=2)
