@@ -318,6 +318,7 @@ def main():
 
     if os.environ.get("BENCH_WAIT_BACKEND", "1") == "1":
         _wait_for_backend()
+    _note("backend up")
 
     # persistent compilation cache: the driver's bench run should not pay
     # the multi-minute TPU compile more than once
@@ -368,7 +369,9 @@ def main():
     variables = model.init({"params": rng, "dropout": rng}, feat0, spk0, False)
 
     # solver (prefactorized once per template, like set_template_mesh)
+    _note("building deformation solver operator (host f64)")
     solver = frame_mod.set_template_mesh()
+    _note("solver built")
     consts, spec = solver.consts, solver.spec
 
     # synth test clips (VOCASET-sentence-sized)
@@ -520,6 +523,8 @@ def main():
 
     # warmup / compile (device_get forces real completion — block_until_ready
     # is unreliable over remote-tunnel runtimes)
+    _note("warmup: compiling/loading the serving pipeline "
+          "(tunnel-bound; minutes even on a warm cache)")
     try:
         out = fn(variables, consts, dsc, sig_dev, starts)
         _ = np.asarray(out[:1, :, :8])
@@ -537,6 +542,7 @@ def main():
         _ = np.asarray(out[:1, :, :8])
     assert out.shape == (n_windows, 3, 5023), out.shape
 
+    _note("warmup done; timed loop starts")
     n_iter = int(os.environ.get("BENCH_ITERS", 10))
     times = []
     for _ in range(n_iter):
