@@ -302,6 +302,13 @@ class StreamingServer:
     - **int16 wire (default)**: vertices quantize ON DEVICE to
       ``task.WIRE_LSB`` (1e-5 m/LSB, ≤5e-6 m error) before download —
       half the bytes of f32 on the link that caps capacity.
+    - **int8 DELTA wire (``wire="i8d"``)**: each slot's frames download
+      as clamped int8 steps of a device-carried integer state
+      (``WIRE_LSB8`` = 4e-5 m/LSB: ±5 mm/frame range, ≤2e-5 m error);
+      the host mirror runs the identical recurrence so there is no
+      accumulation drift, and both ends re-base on the template at
+      ``open()`` — steady state is exactly 1 byte/coordinate, half of
+      i16 again, on the link that caps delivered capacity.
     - **pipelined ticks (opt-in)**: ``pipeline=True`` makes ``tick()``
       dispatch this round's calls and return the *previous* round's
       frames, overlapping the dominant download with the next round's
@@ -330,7 +337,7 @@ class StreamingServer:
     def __init__(self, task, capacity: int = 8, emit_batch: int = 16,
                  block_frames: int = 16, wire: str = "i16",
                  pipeline: bool = False, ring_frames: Optional[int] = None):
-        from .task import WIRE_LSB
+        from .task import WIRE_LSB, WIRE_LSB8
 
         assert task.overlap_frontend, (
             "streaming rides the overlap fast path — construct the task "
@@ -340,9 +347,9 @@ class StreamingServer:
         self.emit_batch = int(emit_batch)
         self.BLOCK = int(block_frames)
         assert self.BLOCK >= 9
-        assert wire in ("f32", "i16"), wire
+        assert wire in ("f32", "i16", "i8d"), wire
         self._wire = wire
-        self._lsb = np.float32(WIRE_LSB)
+        self._lsb = np.float32(WIRE_LSB8 if wire == "i8d" else WIRE_LSB)
         self.pipeline = bool(pipeline)
         self._inflight_call = None  # (plan, device handle) when pipelined
         s = self.spec = task._wspec()
@@ -359,7 +366,20 @@ class StreamingServer:
 
         self._first_ring, self._batched_ring = task._get_ring_fns(
             self.BLOCK, self.R, self.N)
-        self._verts_fn, self._consts = task._get_verts_fn(wire=wire)
+        if wire == "i8d":
+            # delta wire: device carries each slot's last emitted frame as
+            # integer LSB8 units; the host runs the identical recurrence
+            # (drift-free — see task._get_verts_fn_i8d). Both sides re-base
+            # on the template mesh at open(), so no keyframe is ever
+            # downloaded: steady state is exactly 1 byte/coordinate.
+            self._verts_fn, self._consts, self._template_q = (
+                task._get_verts_fn_i8d(self.N, self.emit_batch))
+            self._lastq = jnp.tile(jnp.asarray(self._template_q)[None],
+                                   (self.N, 1))
+            self._mirror = np.tile(self._template_q[None], (self.N, 1))
+            self._reset = np.zeros((self.N,), bool)
+        else:
+            self._verts_fn, self._consts = task._get_verts_fn(wire=wire)
 
         # ring dtype/feature shape via shape-only evaluation of the
         # single-stream block fn (no compile, no device work)
@@ -383,6 +403,12 @@ class StreamingServer:
                 # no device-state reset needed: the first block writes the
                 # mel carry and its ring rows before anything reads them
                 self._slots[sid] = _ServerSlot(speaker, self._pad)
+                if self._wire == "i8d":
+                    # both ends re-base the delta carry on the template —
+                    # the device consumes the flag at the next dispatch,
+                    # before this slot's first frames can exist
+                    self._reset[sid] = True
+                    self._mirror[sid] = self._template_q
                 return sid
         raise RuntimeError(f"server full ({self.N} live streams)")
 
@@ -526,6 +552,32 @@ class StreamingServer:
         idx = np.zeros((W, s.frames), np.int32)
         spk = np.zeros((W,), np.int32)
         ar = np.arange(s.frames, dtype=np.int64)
+        if self._wire == "i8d":
+            # slot-ALIGNED packing (row = sid·E + j): the delta recurrence
+            # is per slot, so each slot's consecutive frames must occupy
+            # its own row group; pad rows emit bytes but carry valid=False
+            # so neither the device carry nor the host mirror advances
+            E = self.emit_batch
+            valid = np.zeros((self.N, E), bool)
+            for sid, slot, batch in plan:
+                r0 = sid * E
+                for j, (w, f0, ts) in enumerate(batch):
+                    idx[r0 + j] = sid * R + (f0 + ar) % R
+                spk[r0 : r0 + E] = slot.speaker
+                if len(batch) < E:  # pad rows repeat the last window
+                    idx[r0 + len(batch) : r0 + E] = idx[r0 + len(batch) - 1]
+                valid[sid, : len(batch)] = True
+                slot.w_done = batch[-1][0] + 1
+                slot.inflight += len(batch)
+            reset_now = self._reset.copy()
+            self._reset[:] = False
+            handle, self._lastq = self._verts_fn(
+                self.task.variables, self._consts, self._ring,
+                jnp.asarray(idx), jnp.asarray(spk), self._lastq,
+                jnp.asarray(valid), jnp.asarray(reset_now))
+            if self.pipeline:
+                handle.copy_to_host_async()
+            return plan, handle
         row = 0
         for sid, slot, batch in plan:
             for (w, f0, ts) in batch:
@@ -550,6 +602,23 @@ class StreamingServer:
 
     def _collect(self, plan, handle):
         flat = np.asarray(handle)
+        if self._wire == "i8d":
+            d = flat.reshape(self.N, self.emit_batch, -1)
+            emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+            for sid, slot, batch in plan:
+                m = self._mirror[sid]
+                frames = []
+                for j, (w, f0, ts) in enumerate(batch):
+                    m = m + d[sid, j].astype(np.int32)
+                    frames.append(
+                        (ts, (m.astype(np.float32) * self._lsb)
+                         .reshape(-1, 3)))
+                slot.inflight -= len(batch)
+                if self._slots[sid] is slot:  # drop if closed mid-flight
+                    self._mirror[sid] = m  # device advanced either way;
+                    # a re-opened slot re-bases both ends at open()
+                    emitted.setdefault(sid, []).extend(frames)
+            return emitted
         if self._wire == "i16":
             flat = flat.astype(np.float32) * self._lsb
         emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}

@@ -29,6 +29,9 @@ from . import audio as audio_lib
 # FLAME-scale head coordinates stay < 0.3 m — with 5e-6 m max quantization
 # error (0.005 mm), 20× inside the 1e-4 m serving parity budget.
 WIRE_LSB = 1e-5
+# int8-delta wire step: ±127·LSB8 ≈ ±5 mm/frame dynamic range, 2e-5 m
+# steady-state error, no drift — see AnimationTask._get_verts_fn_i8d
+WIRE_LSB8 = 4e-5
 
 
 def load_dataset_truth(path: str, fps: float) -> Dict:
@@ -367,6 +370,60 @@ class AnimationTask:
                 raise ValueError(f"unknown wire format {wire!r}")
             self._verts_jit[wire] = (jax.jit(fn), consts)
         return self._verts_jit[wire]
+
+    def _get_verts_fn_i8d(self, n_slots: int, emit_batch: int):
+        """(jitted fn, consts, template_q) for the int8 DELTA vertex wire —
+        the StreamingServer's lowest-byte format (DESIGN.md §12.3: the
+        axon-tunnel download is the delivered-capacity ceiling; i16 halves
+        f32, this halves i16 again).
+
+        fn(variables, consts, z_frames, frame_idx (N·E, F), spk (N·E,),
+           lastq (N, V3) i32, valid (N, E) bool, reset (N,) bool)
+          → (deltas (N, E, V3) int8, new_lastq (N, V3) i32)
+
+        Each slot's rows are consecutive frames of one stream, so frame k
+        is sent as ``clip(round(v_k/LSB8) − carry, ±127)`` with the carry
+        advanced by the CLAMPED delta — the device carry and the host
+        mirror run the same integer recurrence, so there is NO quantization
+        drift, ever: steady-state error ≤ LSB8/2 = 2e-5 m, and a clamped
+        step (inter-frame motion > 127·LSB8 ≈ 5 mm — beyond VOCASET speech
+        dynamics) self-corrects at 5 mm/frame. ``reset`` re-bases a slot's
+        carry on the template mesh (both sides re-base at open(), so no
+        keyframe ever crosses the wire). Invalid (pad) rows emit bytes but
+        advance no state."""
+        key = ("i8d", n_slots, emit_batch)
+        if key not in self._verts_jit:
+            from .viewer import frame as frame_mod
+
+            base, consts = self._verts_base_fn()
+            tq = np.round(
+                np.asarray(frame_mod.template()[0], np.float64).reshape(-1)
+                / WIRE_LSB8).astype(np.int32)
+            template_q = jnp.asarray(tq)
+            N, E = int(n_slots), int(emit_batch)
+
+            def fn(variables, consts, z_frames, frame_idx, spk,
+                   lastq, valid, reset):
+                flat = base(variables, consts, z_frames, frame_idx, spk)
+                q = jnp.round(flat * (1.0 / WIRE_LSB8)).astype(jnp.int32)
+                q = q.reshape(N, E, -1)
+
+                def step(carry, inp):
+                    q_t, valid_t = inp  # (N, V3), (N,)
+                    d = jnp.clip(q_t - carry, -127, 127).astype(jnp.int8)
+                    carry = carry + jnp.where(
+                        valid_t[:, None], d.astype(jnp.int32), 0)
+                    return carry, d
+
+                carry0 = jnp.where(reset[:, None], template_q[None], lastq)
+                new_lastq, ds = jax.lax.scan(
+                    step, carry0,
+                    (q.transpose(1, 0, 2), valid.T))
+                return ds.transpose(1, 0, 2), new_lastq
+
+            self._verts_jit[key] = (jax.jit(fn, donate_argnums=(5,)),
+                                    consts, tq)
+        return self._verts_jit[key]
 
     def _verts_base_fn(self):
         from .viewer import frame as frame_mod

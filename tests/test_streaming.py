@@ -263,7 +263,10 @@ class TestServer:
         ref = sess.push(sig)
         ref.extend(sess.flush())
 
-        for wire, atol in (("f32", 2e-5), ("i16", 2e-5 + WIRE_LSB / 2)):
+        from sdfa_tpu.task import WIRE_LSB8
+
+        for wire, atol in (("f32", 2e-5), ("i16", 2e-5 + WIRE_LSB / 2),
+                           ("i8d", 2e-5 + WIRE_LSB8 / 2)):
             srv = StreamingServer(task, capacity=2, emit_batch=8,
                                   wire=wire, pipeline=True)
             sid = srv.open(0)
@@ -284,6 +287,42 @@ class TestServer:
             err = np.abs(np.stack([v for _, v in got])
                          - np.stack([v for _, v in ref])).max()
             assert err <= atol, (wire, err)
+
+    def test_i8d_delta_wire_rebase_and_no_drift(self, shipped_task):
+        """int8-delta wire: slot close→reopen re-bases both carries (the
+        new stream's frames are absolute, not relative to the dead
+        stream), and a long stream accumulates NO quantization drift —
+        the device carry and the host mirror run the same clamped
+        integer recurrence, so the tail frames are as accurate as the
+        head frames."""
+        from sdfa_tpu.streaming import StreamingServer
+        from sdfa_tpu.task import WIRE_LSB8
+
+        hp, task = shipped_task
+        sig_a = _sig(hp, seconds=1.1, seed=7)
+        sig_b = _sig(hp, seconds=2.8, seed=8)
+        ref_b = task.generate_vertices(sig_b, 1)[1]
+
+        srv = StreamingServer(task, capacity=2, emit_batch=8, wire="i8d")
+        a = srv.open(0)
+        srv.push(a, sig_a)
+        srv.flush(a)
+        while not srv.is_done(a):
+            srv.tick()
+        srv.close(a)
+        b = srv.open(1)  # reuses the freed slot → must re-base
+        assert b == a
+        srv.push(b, sig_b)
+        srv.flush(b)
+        got = []
+        while not srv.is_done(b):
+            for _, frames in srv.tick().items():
+                got.extend(frames)
+        verts = np.stack([v for _, v in got])
+        bound = 2e-5 + WIRE_LSB8 / 2
+        assert np.abs(verts - ref_b).max() <= bound
+        # drift check: the tail is as accurate as the head
+        assert np.abs(verts[-8:] - ref_b[-8:]).max() <= bound
 
     def test_ring_wrap_long_stream(self, shipped_task):
         """A clip much longer than the ring forces many wrap-arounds of

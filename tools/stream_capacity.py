@@ -150,7 +150,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, nargs="+", default=[8])
     ap.add_argument("--clip-s", type=float, default=8.0)
-    ap.add_argument("--wire", choices=["f32", "i16"], default="i16")
+    ap.add_argument("--wire", choices=["f32", "i16", "i8d"], default="i16")
     ap.add_argument("--pipeline", action="store_true", default=True)
     ap.add_argument("--no-pipeline", dest="pipeline", action="store_false")
     ap.add_argument("--device-only", action="store_true")
