@@ -363,6 +363,7 @@ def main():
     model = build_model(hp, load_pca=True)
 
     # init model
+    _note("model init (first device dispatches)")
     rng = jax.random.PRNGKey(0)
     feat0 = jnp.zeros((2, 64, 128, 3), jnp.float32)
     spk0 = jnp.zeros((2,), jnp.int32)
@@ -462,8 +463,11 @@ def main():
 
         pca_col = "params" if model.pca_trainable else "constants"
         try:
+            _note("prep_consts: k-major PCA bases + padded P (device "
+                  "upload + f64 neutral solve)")
             dsc = prep_consts(variables[pca_col]["scale_pca"],
                               variables[pca_col]["rotat_pca"], consts, spec)
+            _note("prep_consts done")
         except KeyError:
             dsc = None
 

@@ -38,15 +38,24 @@ def main():
     dev = jax.devices()[0]
     results = {"total_mb": total_mb, "device": str(dev)}
     reps = 3
+    # The arrays MUST be produced ON DEVICE (jit output): device_put of a
+    # host buffer lets the tunnel client answer np.asarray from its own
+    # host copy without a wire round-trip (measured "190 GB/s" = no-op).
+    make = jax.jit(
+        lambda i, m: (jax.lax.iota(jnp.float32, m) + i * 0.5) * 1.0000001,
+        static_argnums=1, device=dev)
     for k in (1, 2, 4, 8):
         chunk = n // k
-        parts = [
-            jax.device_put(np.zeros(chunk, np.float32), dev) for _ in range(k)
-        ]
-        for p in parts:  # force residency
-            np.asarray(p[:8])
+        parts = [make(i, chunk) for i in range(k)]
+        for p in parts:  # force materialization on device
+            float(p[0])
         times = []
-        for _ in range(reps):
+        for rep in range(reps):
+            # fresh device values each rep: a client-side cache of a
+            # previously-downloaded array must not serve the request
+            parts = [make(rep * k + i + 1, chunk) for i in range(k)]
+            for p in parts:
+                float(p[0])
             t0 = time.perf_counter()
             for p in parts:  # request every transfer before blocking
                 p.copy_to_host_async()
