@@ -200,7 +200,8 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
         pca_col = "params" if model.pca_trainable else "constants"
         dsc = prep_consts(trained_vars[pca_col]["scale_pca"],
                           trained_vars[pca_col]["rotat_pca"],
-                          solver2.consts, solver2.spec)
+                          solver2.consts, solver2.spec,
+                          p_host=solver2._p_np)
 
     # trained throughput can exhaust HBM when phase-1 buffers linger (the
     # 64-clip working set is ~1/3 of a v5e) — degrade to parity-only rather
@@ -357,7 +358,7 @@ def main():
     # a serving batch of BENCH_CLIPS clips runs through the full pipeline in
     # one jitted call — batching amortizes per-call dispatch and fills the MXU.
     seconds = float(os.environ.get("BENCH_SECONDS", 4.0))
-    n_clips = int(os.environ.get("BENCH_CLIPS", 64))
+    n_clips = int(os.environ.get("BENCH_CLIPS", 128))
     root = _ensure_pca("/tmp/bench_assets")
     hp = configure("dgrad", dataset_root=root)
     model = build_model(hp, load_pca=True)
@@ -403,9 +404,11 @@ def main():
     from sdfa_tpu.models.sdfa import SpeechDrivenAnimation
 
     # one group (= the whole serving batch) measured fastest: 32 clips
-    # 307×@chunk8 → 510×@chunk32; 64 clips → 630×@chunk64. 128-clip
-    # programs fail at the tunnel's remote-compile helper (HTTP 500), so 64
-    # is the qualified ceiling. Set BENCH_CHUNK to bound peak memory.
+    # 307×@chunk8 → 510×@chunk32; 64 clips → 630×@chunk64; 128 clips →
+    # 1647× (round 4 — the delta-reference fused solve removed the temps
+    # that capped round 3 at 64). 256 clips OOMs at compile: the fused
+    # biLSTM's two inter-layer (64, 70656, 512) stacks are 8.62 GB each
+    # (artifacts/batch_scaling_r4/). Set BENCH_CHUNK to bound peak memory.
     chunk = int(os.environ.get("BENCH_CHUNK", 0)) or n_clips
     while n_clips % chunk:
         chunk -= 1
@@ -428,12 +431,13 @@ def main():
     # returns tiny PCA coefficients (265 floats/window); the expansion
     # to 89,784 floats + the solver's ~15 live (w, n_tris) temps happen
     # chunk-by-chunk under lax.map, bounding the HBM high-water mark
-    # (96 clips all-at-once = 18.2 GB > 15.75 GB). Measured cost of
-    # chunking at 64 clips: ~2% (627× single-batch vs 614× at
-    # chunk 3296), so the default only chunks ABOVE the 64-clip
-    # working set; beyond that, 96 clips compiles but is slower
-    # (486×) and 128 exhausts at runtime — 64 is the qualified
-    # optimum either way (DESIGN.md §12).
+    # (96 clips all-at-once = 18.2 GB > 15.75 GB on the ROUND-2 XLA
+    # path). Measured cost of chunking at 64 clips: ~2% (627×
+    # single-batch vs 614× at chunk 3296), so the default only chunks
+    # above the current working set. Round 4: the fused delta solve
+    # shrank the solve temps — 128 clips in one batch is the qualified
+    # optimum (1647×); 256 OOMs on the biLSTM inter-layer stacks, not
+    # the decode (DESIGN.md §12, artifacts/batch_scaling_r4/).
     dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 16384))
 
     def stage1_fn(variables, signals):
@@ -466,7 +470,8 @@ def main():
             _note("prep_consts: k-major PCA bases + padded P (device "
                   "upload + f64 neutral solve)")
             dsc = prep_consts(variables[pca_col]["scale_pca"],
-                              variables[pca_col]["rotat_pca"], consts, spec)
+                              variables[pca_col]["rotat_pca"], consts, spec,
+                              p_host=solver._p_np)
             _note("prep_consts done")
         except KeyError:
             dsc = None

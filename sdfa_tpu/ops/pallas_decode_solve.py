@@ -84,27 +84,18 @@ def _env_int(name: str, fallback: Optional[int]) -> Optional[int]:
     return int(v) if v else fallback
 
 
-def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
-                spec: SolverSpec,
-                eq_tile: Optional[int] = None) -> DecodeSolveConsts:
-    """Build DecodeSolveConsts from the model's PCA subtrees
-    ({"compT": (6T|3T, K), "means": (…)}) and the solver consts. Do this
-    ONCE per task/bench process and pass the result to
-    ``decode_solve_fused`` — it holds ~200 MB of device arrays.
+def _prep_device(scale_comp, scale_means, rotat_comp, rotat_means, p,
+                 T: int, Tp: int):
+    """All of prep_consts' device-side reshuffles in ONE traced program.
 
-    ``eq_tile=None`` resolves SDFA_SOLVE_EQT (default 512) — the SAME
-    knob decode_solve_free reads, so a tile sweep pads and slices
-    consistently without code edits.
+    Eager jnp ops here each cost a remote-compile round trip over the
+    axon tunnel (~25 s apiece; none persist — the compilation cache only
+    keeps programs that took ≥1 s to compile), so the original eager
+    chain paid ~4 min of tunnel compiles per bench process. One jit =
+    one compile, and it is big enough to persist.
     """
-    assert spec.identity_eq, "fused decode+solve needs identity equations"
-    if eq_tile is None:
-        eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
-    T = spec.n_tris
-    Tp = -(-T // eq_tile) * eq_tile
 
-    def km(sub, per_tri):
-        comp = jnp.asarray(sub["compT"])        # (per_tri·T, K), tri-major
-        means = jnp.asarray(sub["means"]).reshape(-1)
+    def km(comp, means, per_tri):
         K = comp.shape[1]
         # tri-major (T, per_tri, K) → k-major (K, per_tri, T), then pad T
         b = jnp.transpose(comp.reshape(T, per_tri, K), (2, 1, 0))
@@ -113,22 +104,73 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
         m = jnp.pad(m, ((0, 0), (0, Tp - T)))
         return b, m
 
-    basis_s, means_s = km(scale_sub, 6)
-    basis_r, means_r = km(rotat_sub, 3)
-    p = jnp.pad(consts.p, ((0, 0), (0, Tp - T), (0, 0)))  # (3, T', NF)
+    basis_s, means_s = km(scale_comp, scale_means, 6)
+    basis_r, means_r = km(rotat_comp, rotat_means, 3)
+    p_pad = jnp.pad(p, ((0, 0), (0, Tp - T), (0, 0)))  # (3, T', NF)
 
     # delta-reference constants: transform entries of the means (f32 — the
-    # SAME value the kernel subtracts, so T = ΔT + T0 decomposes exactly)
-    # and their exact f64 solve. Padded tail: means 0 → T0 = I there, and
-    # the in-kernel T is I too → ΔT tail ≡ 0.
+    # SAME value the kernel subtracts, so T = ΔT + T0 decomposes exactly).
+    # Padded tail: means 0 → T0 = I there, and the in-kernel T is I too →
+    # ΔT tail ≡ 0.
     d0 = [means_s[k] for k in range(6)] + [means_r[k] for k in range(3)]
     t0_ll = transform_entries_from_planes(d0)
     t0 = jnp.stack([t0_ll[i][j] for i in range(3) for j in range(3)])
-    p64 = np.asarray(p, np.float64)
-    t064 = np.asarray(t0, np.float64)
-    x0 = np.stack([
-        sum(t064[3 * dd + c] @ p64[c] for c in range(3)) for dd in range(3)
-    ]).astype(np.float32)  # (3, NF)
+    return basis_s, means_s, basis_r, means_r, p_pad, t0
+
+
+_prep_device_jit = jax.jit(_prep_device, static_argnums=(5, 6))
+
+
+def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
+                spec: SolverSpec,
+                eq_tile: Optional[int] = None,
+                p_host: Optional[np.ndarray] = None) -> DecodeSolveConsts:
+    """Build DecodeSolveConsts from the model's PCA subtrees
+    ({"compT": (6T|3T, K), "means": (…)}) and the solver consts. Do this
+    ONCE per task/bench process and pass the result to
+    ``decode_solve_fused`` — it holds ~200 MB of device arrays.
+
+    ``eq_tile=None`` resolves SDFA_SOLVE_EQT (default 512) — the SAME
+    knob decode_solve_free reads, so a tile sweep pads and slices
+    consistently without code edits.
+
+    ``p_host``: the solver's host-side float64 P operator
+    (``DeformationSolver._p_np``, (n_free, 3·n_eqs) interleaved). When
+    given, the x0 neutral solve uses it directly instead of downloading
+    the ~460 MB device P over the tunnel; it is cast through float32
+    first so x0 is bit-identical to the download path.
+    """
+    assert spec.identity_eq, "fused decode+solve needs identity equations"
+    if eq_tile is None:
+        eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
+    T = spec.n_tris
+    Tp = -(-T // eq_tile) * eq_tile
+
+    basis_s, means_s, basis_r, means_r, p, t0 = _prep_device_jit(
+        jnp.asarray(scale_sub["compT"]),
+        jnp.asarray(scale_sub["means"]).reshape(-1),
+        jnp.asarray(rotat_sub["compT"]),
+        jnp.asarray(rotat_sub["means"]).reshape(-1),
+        consts.p, T, Tp)
+
+    # exact f64 solve of the neutral pose: x0 = Σ_c T0[3d+c] @ P[c]
+    t064 = np.asarray(t0, np.float64)  # (9, T'); tail rows multiply 0 rows
+    if p_host is not None:
+        # planes view of the host operator, rounded through f32 so the
+        # result matches np.asarray(device_p) exactly
+        p64 = np.stack([
+            np.ascontiguousarray(p_host[:, c::3].T) for c in range(3)
+        ]).astype(np.float32).astype(np.float64)  # (3, T, NF) — unpadded
+        x0 = np.stack([
+            sum(t064[3 * dd + c][:T] @ p64[c] for c in range(3))
+            for dd in range(3)
+        ]).astype(np.float32)  # (3, NF)
+    else:
+        p64 = np.asarray(p, np.float64)  # (3, T', NF) download
+        x0 = np.stack([
+            sum(t064[3 * dd + c] @ p64[c] for c in range(3))
+            for dd in range(3)
+        ]).astype(np.float32)  # (3, NF)
     return DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p,
                              t0, jnp.asarray(x0))
 

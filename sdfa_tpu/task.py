@@ -467,7 +467,8 @@ class AnimationTask:
                     try:
                         dsc = prep_consts(self.variables[col]["scale_pca"],
                                           self.variables[col]["rotat_pca"],
-                                          consts, spec)
+                                          consts, spec,
+                                          p_host=solver._p_np)
                     except KeyError:
                         dsc = None
 

@@ -168,3 +168,18 @@ def test_delta_mode_bf16_truncation_bound(setup):
     err_1pass = run(delta=False, precise=False)
     assert err_delta < 1e-5, err_delta         # measured ~2.8e-6
     assert err_1pass > 3 * err_delta, (err_1pass, err_delta)
+
+
+def test_prep_consts_p_host_bit_identical(setup):
+    """The host-P fast path (skips the ~460 MB device-P download over
+    the tunnel) must produce the SAME DecodeSolveConsts as the download
+    path — x0 bitwise (the f64 neutral solve goes through the identical
+    f32 rounding), everything else tree-equal."""
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    dsc_host = prep_consts(scale_sub, rotat_sub, consts, spec,
+                           p_host=solver._p_np)
+    for name in dsc._fields:
+        a, b = np.asarray(getattr(dsc, name)), np.asarray(
+            getattr(dsc_host, name))
+        assert a.shape == b.shape, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
