@@ -56,10 +56,16 @@ def main():
                       for i in range(args.speakers)],
             sentences_per_speaker=args.sentences,
             seconds_per_sentence=args.seconds)
+    # max_epochs must not bind before --steps: the synthetic dataset at
+    # the defaults yields ~10 optimizer steps/epoch, so the stock
+    # max_epochs=100 would stop a 2500-step run at step 1000. The
+    # trainer's global max_steps cap empties the loader once reached, so
+    # an effectively-unbounded epoch cap makes --steps the binding stop.
     api.train_model(
         "dgrad", dataset_root=args.root, log_dir=args.run_dir,
         max_steps=args.steps,
-        overrides=dict(trainer=dict(pca_targets=True)))
+        overrides=dict(trainer=dict(pca_targets=True,
+                                    max_epochs=10 ** 6)))
     print(f"trained {args.steps} steps -> {args.run_dir}")
 
 
