@@ -274,9 +274,23 @@ class LSTM(_RNNBase):
                 w_hh2 = jnp.stack([dir_params[0][1], dir_params[1][1]])
                 gb2 = (None if dir_params[0][2] is None
                        else jnp.stack([dir_params[0][2], dir_params[1][2]]))
-                out = bilstm_layer_fused(out, w_ih2, w_hh2, gb2,
-                                         interpret=_FREQ_FUSED_INTERPRET,
-                                         precise=_lstm_passes())
+                # INTER-layer staging in bf16 (1-pass mode only, where it
+                # is value-identical: the next layer's _dot_f32 rounds its
+                # activation operand to bf16 regardless — the rounding
+                # just moves from the read to the write). Halves the
+                # (rows, T, 2H) stacks that cap the serving batch
+                # (artifacts/batch_scaling_r4/). The LAST layer stays f32
+                # (attention/heads consume it). SDFA_LSTM_STAGE_BF16=0
+                # opts out.
+                stage_bf16 = (layer < self.num_layers - 1
+                              and _lstm_passes() == 1
+                              and _os.environ.get(
+                                  "SDFA_LSTM_STAGE_BF16", "1") == "1")
+                out = bilstm_layer_fused(
+                    out, w_ih2, w_hh2, gb2,
+                    interpret=_FREQ_FUSED_INTERPRET,
+                    precise=_lstm_passes(),
+                    out_dtype=jnp.bfloat16 if stage_bf16 else None)
             elif fused_train:
                 from ..ops.pallas_bilstm_train import bilstm_core
 

@@ -98,14 +98,18 @@ def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
         h_new, c_new = cell(xf_buf[slot], hf[:], cf[:], 0)
         hf[:] = h_new
         cf[:] = c_new
-        of_buf[slot] = h_new
+        # out buffers may be bf16 (inter-layer staging): in 1-pass mode
+        # the next layer's _dot_f32 casts its activation to bf16 anyway,
+        # so rounding at the WRITE is value-identical and halves the
+        # (T, rows, 2H) HBM stack — the 256-clip OOM's entire bulk
+        of_buf[slot] = h_new.astype(of_buf.dtype)
         out_dma(of_buf, slot, slot, step, 0).start()
 
         in_dma(xr_buf, slot, 2 + slot, seq_len - 1 - step).wait()
         h_new, c_new = cell(xr_buf[slot], hr[:], cr[:], 1)
         hr[:] = h_new
         cr[:] = c_new
-        or_buf[slot] = h_new
+        or_buf[slot] = h_new.astype(or_buf.dtype)
         out_dma(or_buf, slot, 2 + slot, seq_len - 1 - step, 1).start()
         return 0
 
@@ -123,15 +127,21 @@ def _bilstm_kernel(x_hbm, w_ih, w_hh, gate_bias, out_hbm,
 
 
 def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
-                       *, block_rows: int, interpret: bool, precise: bool):
+                       *, block_rows: int, interpret: bool, precise: bool,
+                       out_dtype=None):
     rows, seq_len, n_in = x.shape
     two, _, gdim = w_ih.shape
     assert two == 2
     hidden = gdim // 4
+    out_dtype = jnp.dtype(out_dtype or jnp.float32)
 
     # rows ride the sublane axis of each (blk, in)/(blk, H) DMA tile —
-    # Mosaic requires sublane slices 8-aligned; round up and zero-pad
-    blk = row_block(rows, block_rows, align=8)
+    # Mosaic requires sublane slices tile-aligned; bf16 tiles are (16,
+    # 128) vs f32's (8, 128), so a bf16 input or output needs 16-aligned
+    # row blocks; round up and zero-pad
+    align = 16 if (x.dtype == jnp.bfloat16
+                   or out_dtype == jnp.bfloat16) else 8
+    blk = row_block(rows, block_rows, align=align)
     pad = (-rows) % blk
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
@@ -141,7 +151,7 @@ def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
     x_trc = jnp.swapaxes(x, 0, 1)  # (T, rows, in): clean (blk, in) tiles
 
     gb = (gate_bias if gate_bias is not None
-          else jnp.zeros((2, gdim), x.dtype)).reshape(2, 1, gdim)
+          else jnp.zeros((2, gdim), jnp.float32)).reshape(2, 1, gdim)
 
     kernel = functools.partial(
         _bilstm_kernel, seq_len=seq_len, n_in=n_in, blk=blk, hidden=hidden,
@@ -161,16 +171,16 @@ def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((seq_len, padded_rows, 2 * hidden),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[
             pltpu.VMEM((blk, hidden), jnp.float32),   # h fwd
             pltpu.VMEM((blk, hidden), jnp.float32),   # c fwd
             pltpu.VMEM((blk, hidden), jnp.float32),   # h rev
             pltpu.VMEM((blk, hidden), jnp.float32),   # c rev
-            pltpu.VMEM((2, blk, n_in), jnp.float32),  # x fwd bufs
-            pltpu.VMEM((2, blk, n_in), jnp.float32),  # x rev bufs
-            pltpu.VMEM((2, blk, hidden), jnp.float32),  # out fwd bufs
-            pltpu.VMEM((2, blk, hidden), jnp.float32),  # out rev bufs
+            pltpu.VMEM((2, blk, n_in), x.dtype),      # x fwd bufs
+            pltpu.VMEM((2, blk, n_in), x.dtype),      # x rev bufs
+            pltpu.VMEM((2, blk, hidden), out_dtype),  # out fwd bufs
+            pltpu.VMEM((2, blk, hidden), out_dtype),  # out rev bufs
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -183,12 +193,14 @@ def _bilstm_fused_impl(x, w_ih, w_hh, gate_bias,
 
 
 @functools.lru_cache(maxsize=None)
-def _bilstm_cp(block_rows: int, precise: bool, interpret: bool):
+def _bilstm_cp(block_rows: int, precise: bool, interpret: bool,
+               out_dtype_name: str):
     # plain positional closure: custom_partitioning rejects partials with
     # keyword-only bindings
     def impl(x, w_ih, w_hh, gb):
         return _bilstm_fused_impl(x, w_ih, w_hh, gb, block_rows=block_rows,
-                                  precise=precise, interpret=interpret)
+                                  precise=precise, interpret=interpret,
+                                  out_dtype=jnp.dtype(out_dtype_name))
 
     return rows_partitioned(
         impl, "i t c, a c g, a h g, a g -> i t d",
@@ -203,22 +215,30 @@ def bilstm_layer_fused(
     block_rows: int = 256,
     interpret: bool = False,
     precise: bool = True,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Fused bidirectional LSTM layer: x (rows, T, in) → (rows, T, 2H).
 
     w_ih (2, in, 4H), w_hh (2, H, 4H), gate_bias (2, 4H) or None —
     direction 0 forward, 1 reverse; torch gate order i,f,g,o.
 
+    ``out_dtype=jnp.bfloat16`` halves the (rows, T, 2H) output stack —
+    for INTER-layer staging in 1-pass mode it is value-identical (the
+    next layer's ``_dot_f32`` rounds its activation to bf16 regardless),
+    and it is the HBM bulk that capped the serving batch at 128 clips
+    (artifacts/batch_scaling_r4/). Default f32.
+
     Partition-aware like freq_lstm_fused: rows may shard across a mesh,
     each shard runs the kernel locally; weights replicate.
     """
     gdim = w_ih.shape[2]
     gb = (gate_bias if gate_bias is not None
-          else jnp.zeros((2, gdim), x.dtype))
+          else jnp.zeros((2, gdim), jnp.float32))
     # cache on the NORMALIZED pass count (hash(True) == hash(1) — raw
     # bool/int knobs collide in the lru cache)
     from .pallas_freq_lstm import _passes
-    return _bilstm_cp(block_rows, _passes(precise), interpret)(
+    return _bilstm_cp(block_rows, _passes(precise), interpret,
+                      jnp.dtype(out_dtype or jnp.float32).name)(
         x, w_ih, w_hh, gb)
 
 

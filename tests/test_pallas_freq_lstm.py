@@ -329,3 +329,63 @@ class TestReducedPasses:
         # default 1: hardware-qualified (DESIGN §12.7 — 812→1056× at
         # unchanged trained-checkpoint parity)
         assert _lstm_passes() == 1
+
+
+class TestBf16InterLayerStaging:
+    """out_dtype=bf16 staging (round 4: halves the (rows, T, 2H) stacks
+    that capped the serving batch — artifacts/batch_scaling_r4/). In
+    1-pass mode it must be VALUE-IDENTICAL: the next layer's _dot_f32
+    rounds its activation operand to bf16 regardless, so rounding at the
+    write changes nothing."""
+
+    def test_two_layer_chain_bitwise_identical(self, rng):
+        from sdfa_tpu.ops.pallas_bilstm import bilstm_layer_fused
+
+        rows, T, IN, H = 48, 8, 256, 256
+        x = _rand(rng, (rows, T, IN), 1.0)
+        w_ih1 = _rand(rng, (2, IN, 4 * H), 0.05)
+        w_hh1 = _rand(rng, (2, H, 4 * H), 0.05)
+        w_ih2 = _rand(rng, (2, 2 * H, 4 * H), 0.05)
+        w_hh2 = _rand(rng, (2, H, 4 * H), 0.05)
+
+        mid32 = bilstm_layer_fused(x, w_ih1, w_hh1, None, block_rows=128,
+                                   interpret=True, precise=1)
+        mid16 = bilstm_layer_fused(x, w_ih1, w_hh1, None, block_rows=128,
+                                   interpret=True, precise=1,
+                                   out_dtype=jnp.bfloat16)
+        assert mid16.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(mid32.astype(jnp.bfloat16)), np.asarray(mid16))
+
+        out32 = bilstm_layer_fused(mid32, w_ih2, w_hh2, None, block_rows=128,
+                                   interpret=True, precise=1)
+        out16 = bilstm_layer_fused(mid16, w_ih2, w_hh2, None, block_rows=128,
+                                   interpret=True, precise=1)
+        assert out16.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out32), np.asarray(out16))
+
+    def test_lstm_module_staging_identical_and_gated(self, rng, monkeypatch):
+        """Module level: SDFA_LSTM_STAGE_BF16 on/off produce the same
+        f32 output at 1-pass; 3-pass mode never stages (the hi/lo split
+        needs the f32 activation)."""
+        mod = recurrent.LSTM(input_size=256, hidden_size=256, num_layers=2,
+                             bias=False, bidirectional=True)
+        x = _rand(rng, (6, 12, 256), 1.0)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("SDFA_LSTM_PASSES", "1")
+        recurrent._FREQ_FUSED_INTERPRET = True
+        try:
+            monkeypatch.setenv("SDFA_LSTM_STAGE_BF16", "0")
+            ref = mod.apply(variables, x)
+            monkeypatch.setenv("SDFA_LSTM_STAGE_BF16", "1")
+            out = mod.apply(variables, x)
+            # 3-pass: staging must gate itself off (value would differ)
+            monkeypatch.setenv("SDFA_LSTM_PASSES", "3")
+            out3 = mod.apply(variables, x)
+        finally:
+            recurrent._FREQ_FUSED_INTERPRET = False
+        assert ref.dtype == out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+        # 3-pass output is the higher-precision one — different from
+        # 1-pass (sanity that the pass knob still reaches the kernel)
+        assert float(jnp.abs(out3 - out).max()) > 0
