@@ -235,6 +235,12 @@ class Conv1d(_Ext):
             init_method=self.init_method, init_nonlinearity=self.init_nonlinearity,
             weight_norm=self.weight_norm, norm_axes=(1, 2),
         )
+        if x.dtype != kernel.dtype:
+            # bf16-staged activations (SDFA_LSTM_STAGE_BF16_LAST) meet f32
+            # kernels here; lax.conv requires matching dtypes — upcast the
+            # input (the only staged->conv consumer is the attention's
+            # tiny query window, so this re-materializes almost nothing)
+            x = x.astype(kernel.dtype)
         out = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(int(self.stride),),
@@ -284,6 +290,8 @@ class Conv2d(_Ext):
             init_method=self.init_method, init_nonlinearity=self.init_nonlinearity,
             weight_norm=self.weight_norm, norm_axes=(1, 2, 3),
         )
+        if x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)  # bf16-staged input, f32 kernel
         out = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(sh, sw),
@@ -327,6 +335,8 @@ class ConvTranspose1d(_Ext):
             weight_norm=self.weight_norm, norm_axes=(1, 2),
         )
         # torch ConvTranspose == lhs-dilated conv with flipped kernel
+        if x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)  # bf16-staged input, f32 kernel
         out = jax.lax.conv_general_dilated(
             x, jnp.flip(kernel, axis=-1).transpose(1, 0, 2),
             window_strides=(1,),
@@ -375,6 +385,8 @@ class ConvTranspose2d(_Ext):
             init_method=self.init_method, init_nonlinearity=self.init_nonlinearity,
             weight_norm=self.weight_norm, norm_axes=(1, 2, 3),
         )
+        if x.dtype != kernel.dtype:
+            x = x.astype(kernel.dtype)  # bf16-staged input, f32 kernel
         out = jax.lax.conv_general_dilated(
             x, jnp.flip(kernel, axis=(-1, -2)).transpose(1, 0, 2, 3),
             window_strides=(1, 1),

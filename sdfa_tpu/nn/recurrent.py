@@ -279,13 +279,19 @@ class LSTM(_RNNBase):
                 # activation operand to bf16 regardless — the rounding
                 # just moves from the read to the write). Halves the
                 # (rows, T, 2H) stacks that cap the serving batch
-                # (artifacts/batch_scaling_r4/). The LAST layer stays f32
-                # (attention/heads consume it). SDFA_LSTM_STAGE_BF16=0
-                # opts out.
-                stage_bf16 = (layer < self.num_layers - 1
-                              and _lstm_passes() == 1
+                # (artifacts/batch_scaling_r4/). SDFA_LSTM_STAGE_BF16=0
+                # opts out. The LAST layer defaults to f32 (attention
+                # consumes it at MODEL_PREC, where bf16 is NOT identical);
+                # SDFA_LSTM_STAGE_BF16_LAST=1 stages it too — a measured-
+                # parity knob (like the 1-pass default), only shippable
+                # with the bench realism line's f64-oracle error < 1e-4.
+                stage_bf16 = (_lstm_passes() == 1
                               and _os.environ.get(
-                                  "SDFA_LSTM_STAGE_BF16", "1") == "1")
+                                  "SDFA_LSTM_STAGE_BF16", "1") == "1"
+                              and (layer < self.num_layers - 1
+                                   or _os.environ.get(
+                                       "SDFA_LSTM_STAGE_BF16_LAST",
+                                       "0") == "1"))
                 out = bilstm_layer_fused(
                     out, w_ih2, w_hh2, gb2,
                     interpret=_FREQ_FUSED_INTERPRET,

@@ -85,7 +85,7 @@ def _env_int(name: str, fallback: Optional[int]) -> Optional[int]:
 
 
 def _prep_device(scale_comp, scale_means, rotat_comp, rotat_means, p,
-                 T: int, Tp: int):
+                 T: int, Tp: int, p_dtype_name: str = "float32"):
     """All of prep_consts' device-side reshuffles in ONE traced program.
 
     Eager jnp ops here each cost a remote-compile round trip over the
@@ -107,6 +107,12 @@ def _prep_device(scale_comp, scale_means, rotat_comp, rotat_means, p,
     basis_s, means_s = km(scale_comp, scale_means, 6)
     basis_r, means_r = km(rotat_comp, rotat_means, 3)
     p_pad = jnp.pad(p, ((0, 0), (0, Tp - T), (0, 0)))  # (3, T', NF)
+    # bf16 P staging: the delta kernel's solve products are ALWAYS
+    # 1-pass (_dot_f32 rounds both operands to bf16), so rounding P at
+    # the STORE is value-identical there and halves both the dsc
+    # footprint (~200 → ~130 MB) and the kernel's dominant HBM read —
+    # the (3, eq_tile, NF) P tile is re-streamed for every row block.
+    p_pad = p_pad.astype(jnp.dtype(p_dtype_name))
 
     # delta-reference constants: transform entries of the means (f32 — the
     # SAME value the kernel subtracts, so T = ΔT + T0 decomposes exactly).
@@ -118,13 +124,14 @@ def _prep_device(scale_comp, scale_means, rotat_comp, rotat_means, p,
     return basis_s, means_s, basis_r, means_r, p_pad, t0
 
 
-_prep_device_jit = jax.jit(_prep_device, static_argnums=(5, 6))
+_prep_device_jit = jax.jit(_prep_device, static_argnums=(5, 6, 7))
 
 
 def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
                 spec: SolverSpec,
                 eq_tile: Optional[int] = None,
-                p_host: Optional[np.ndarray] = None) -> DecodeSolveConsts:
+                p_host: Optional[np.ndarray] = None,
+                p_dtype=None) -> DecodeSolveConsts:
     """Build DecodeSolveConsts from the model's PCA subtrees
     ({"compT": (6T|3T, K), "means": (…)}) and the solver consts. Do this
     ONCE per task/bench process and pass the result to
@@ -139,10 +146,23 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
     given, the x0 neutral solve uses it directly instead of downloading
     the ~460 MB device P over the tunnel; it is cast through float32
     first so x0 is bit-identical to the download path.
+
+    ``p_dtype``: storage dtype of the staged P operator. ``None``
+    resolves SDFA_SOLVE_P_BF16 (default: bf16 iff the delta solve mode
+    is the default, i.e. SDFA_SOLVE_DELTA != 0). bf16 is VALUE-IDENTICAL
+    in delta mode (the kernel's ΔT@P products are always 1-pass — both
+    operands round to bf16 regardless) and halves the P HBM stream that
+    dominates the solve stage; non-delta 3-pass callers need
+    ``p_dtype=jnp.float32`` (the impl refuses a bf16 P there).
     """
     assert spec.identity_eq, "fused decode+solve needs identity equations"
     if eq_tile is None:
         eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
+    if p_dtype is None:
+        delta_default = os.environ.get("SDFA_SOLVE_DELTA", "1") == "1"
+        want_bf16 = os.environ.get("SDFA_SOLVE_P_BF16",
+                                   "1" if delta_default else "0") == "1"
+        p_dtype = jnp.bfloat16 if want_bf16 else jnp.float32
     T = spec.n_tris
     Tp = -(-T // eq_tile) * eq_tile
 
@@ -151,7 +171,7 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
         jnp.asarray(scale_sub["means"]).reshape(-1),
         jnp.asarray(rotat_sub["compT"]),
         jnp.asarray(rotat_sub["means"]).reshape(-1),
-        consts.p, T, Tp)
+        consts.p, T, Tp, jnp.dtype(p_dtype).name)
 
     # exact f64 solve of the neutral pose: x0 = Σ_c T0[3d+c] @ P[c]
     t064 = np.asarray(t0, np.float64)  # (9, T'); tail rows multiply 0 rows
@@ -166,9 +186,12 @@ def prep_consts(scale_sub, rotat_sub, consts: DeformConsts,
             for dd in range(3)
         ]).astype(np.float32)  # (3, NF)
     else:
-        p64 = np.asarray(p, np.float64)  # (3, T', NF) download
+        # download the solver's f32 operator, NOT the staged (possibly
+        # bf16) p — x0 is the exact reference point and must not inherit
+        # the staging truncation
+        p64 = np.asarray(consts.p, np.float64)  # (3, T, NF) download
         x0 = np.stack([
-            sum(t064[3 * dd + c] @ p64[c] for c in range(3))
+            sum(t064[3 * dd + c][:T] @ p64[c] for c in range(3))
             for dd in range(3)
         ]).astype(np.float32)  # (3, NF)
     return DecodeSolveConsts(basis_s, means_s, basis_r, means_r, p,
@@ -309,6 +332,13 @@ def _decode_solve_impl(
     Kr = dsc.basis_r.shape[0]
     nf = dsc.p.shape[2]
     assert six == 6 and Tp % eq_tile == 0, (dsc.basis_s.shape, eq_tile)
+    from .pallas_freq_lstm import _passes
+
+    if dsc.p.dtype == jnp.bfloat16 and not delta and _passes(precise) > 1:
+        raise ValueError(
+            "dsc.p is bf16 but the non-delta multi-pass kernel needs the "
+            "f32 operator (the hi/lo split reads the residual) — build "
+            "the consts with prep_consts(..., p_dtype=jnp.float32)")
     n_eq_tiles = Tp // eq_tile
 
     blk = row_block(rows, block_rows, align=8)

@@ -170,6 +170,49 @@ def test_delta_mode_bf16_truncation_bound(setup):
     assert err_1pass > 3 * err_delta, (err_1pass, err_delta)
 
 
+def test_p_bf16_staging_delta_identical_and_guarded(setup, monkeypatch):
+    """bf16 P staging (round 4): in delta mode the solve products are
+    always 1-pass — both operands round to bf16 in ``_dot_f32`` — so a
+    pre-rounded bf16 P is VALUE-IDENTICAL while halving the dominant
+    HBM stream. Non-delta multi-pass needs f32 and must refuse."""
+    solver, consts, spec, scale_sub, rotat_sub, dsc, rng = setup
+    dsc16 = prep_consts(scale_sub, rotat_sub, consts, spec,
+                        p_host=solver._p_np, p_dtype=jnp.bfloat16)
+    dsc32 = prep_consts(scale_sub, rotat_sub, consts, spec,
+                        p_host=solver._p_np, p_dtype=jnp.float32)
+    assert dsc16.p.dtype == jnp.bfloat16 and dsc32.p.dtype == jnp.float32
+    # x0 is the exact reference point: independent of the staging dtype
+    np.testing.assert_array_equal(np.asarray(dsc16.x0), np.asarray(dsc32.x0))
+
+    rows = 5
+    coef_s = jnp.asarray(rng.normal(0, 1.0, (rows, 12)).astype(np.float32))
+    coef_r = jnp.asarray(rng.normal(0, 1.0, (rows, 7)).astype(np.float32))
+    out16 = np.asarray(decode_solve_free(coef_s, coef_r, dsc16,
+                                         interpret=True, delta=True))
+    out32 = np.asarray(decode_solve_free(coef_s, coef_r, dsc32,
+                                         interpret=True, delta=True))
+    np.testing.assert_array_equal(out16, out32)
+    # non-delta 1-pass also rounds both operands — bf16 P allowed there
+    np.testing.assert_array_equal(
+        np.asarray(decode_solve_free(coef_s, coef_r, dsc16, interpret=True,
+                                     delta=False, precise=False)),
+        np.asarray(decode_solve_free(coef_s, coef_r, dsc32, interpret=True,
+                                     delta=False, precise=False)))
+    # non-delta multi-pass reads the f32 residual — must refuse bf16 P
+    with pytest.raises(ValueError, match="bf16"):
+        decode_solve_free(coef_s, coef_r, dsc16, interpret=True,
+                          delta=False, precise=True)
+
+    # env default: bf16 iff the delta mode is the default
+    monkeypatch.delenv("SDFA_SOLVE_P_BF16", raising=False)
+    monkeypatch.setenv("SDFA_SOLVE_DELTA", "0")
+    assert prep_consts(scale_sub, rotat_sub, consts, spec,
+                       p_host=solver._p_np).p.dtype == jnp.float32
+    monkeypatch.setenv("SDFA_SOLVE_DELTA", "1")
+    assert prep_consts(scale_sub, rotat_sub, consts, spec,
+                       p_host=solver._p_np).p.dtype == jnp.bfloat16
+
+
 def test_prep_consts_p_host_bit_identical(setup):
     """The host-P fast path (skips the ~460 MB device-P download over
     the tunnel) must produce the SAME DecodeSolveConsts as the download

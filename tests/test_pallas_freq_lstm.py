@@ -389,3 +389,25 @@ class TestBf16InterLayerStaging:
         # 3-pass output is the higher-precision one — different from
         # 1-pass (sanity that the pass knob still reaches the kernel)
         assert float(jnp.abs(out3 - out).max()) > 0
+
+    def test_last_layer_staging_knob(self, rng, monkeypatch):
+        """SDFA_LSTM_STAGE_BF16_LAST=1 stages the FINAL layer too — NOT
+        value-identical (attention consumes it at MODEL_PREC), so it is a
+        measured-parity knob: assert the dtype plumbing and that the bf16
+        output is within bf16 rounding of the f32 one."""
+        mod = recurrent.LSTM(input_size=256, hidden_size=256, num_layers=2,
+                             bias=False, bidirectional=True)
+        x = _rand(rng, (4, 10, 256), 1.0)
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("SDFA_LSTM_PASSES", "1")
+        recurrent._FREQ_FUSED_INTERPRET = True
+        try:
+            ref = mod.apply(variables, x)
+            monkeypatch.setenv("SDFA_LSTM_STAGE_BF16_LAST", "1")
+            out = mod.apply(variables, x)
+        finally:
+            recurrent._FREQ_FUSED_INTERPRET = False
+        assert ref.dtype == jnp.float32 and out.dtype == jnp.bfloat16
+        # exactly the write-side rounding of the f32 result
+        np.testing.assert_array_equal(
+            np.asarray(ref.astype(jnp.bfloat16)), np.asarray(out))
