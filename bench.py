@@ -550,6 +550,10 @@ def main():
         out = fn(variables, consts, dsc, sig_dev, starts)
         _ = np.asarray(out[:1, :, :8])
     assert out.shape == (n_windows, 3, 5023), out.shape
+    # free the warmup output before timing: at 256 clips the (C·W, 3, V)
+    # result is 4.3 GB, and holding the previous iteration's copy while
+    # the next one computes runtime-OOMs a v5e even though one fits
+    del out
 
     _note("warmup done; timed loop starts")
     n_iter = int(os.environ.get("BENCH_ITERS", 10))
@@ -559,6 +563,7 @@ def main():
         out = fn(variables, consts, dsc, sig_dev, starts)
         _ = np.asarray(out[:1, :, :8])  # force completion
         times.append(time.perf_counter() - t0)
+        del out
     dt = sorted(times)[len(times) // 2]  # median, per-call blocked
     x_realtime = seconds * n_clips / dt
     audio_s = seconds * n_clips
