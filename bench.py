@@ -337,15 +337,23 @@ def main():
     # minutes) rather than risking an unbounded warmup. Warm caches (the
     # normal case — the builder pre-warms this machine) keep the fused
     # kernels. BENCH_COLD_SAFE=0 disables the fallback.
-    kernels_mode = "fused"
+    _gates = ("SDFA_PALLAS_BILSTM", "SDFA_PALLAS_FREQ_LSTM",
+              "SDFA_PALLAS_SOLVE")
     if cache_cold and os.environ.get("BENCH_COLD_SAFE", "1") == "1":
-        for gate in ("SDFA_PALLAS_BILSTM", "SDFA_PALLAS_FREQ_LSTM",
-                     "SDFA_PALLAS_SOLVE"):
+        for gate in _gates:
             os.environ.setdefault(gate, "0")
-        kernels_mode = "xla_cold_safe"
         _note("compile cache is cold: headline uses the XLA paths "
               "(fused Mosaic kernels would need ~20 min/shape first "
               "compiles); set BENCH_COLD_SAFE=0 to override")
+    # label reflects the ACTUAL gate state (cold-safe fallback above, or
+    # explicit SDFA_PALLAS_*=0 in the environment), not just the fallback;
+    # unset means "auto" = fused on TPU (nn/recurrent._pallas_inference_eligible)
+    if all(os.environ.get(g, "auto") != "0" for g in _gates):
+        kernels_mode = "fused"
+    elif cache_cold:
+        kernels_mode = "xla_cold_safe"
+    else:
+        kernels_mode = "xla"
     import jax.numpy as jnp
 
     from sdfa_tpu.audio import pipeline as audio_pipeline
