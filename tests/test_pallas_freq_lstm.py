@@ -373,6 +373,9 @@ class TestBf16InterLayerStaging:
         x = _rand(rng, (6, 12, 256), 1.0)
         variables = mod.init(jax.random.PRNGKey(0), x)
         monkeypatch.setenv("SDFA_LSTM_PASSES", "1")
+        # isolate the INTER-layer knob: the final layer's (value-changing,
+        # separately qualified) staging default would turn the output bf16
+        monkeypatch.setenv("SDFA_LSTM_STAGE_BF16_LAST", "0")
         recurrent._FREQ_FUSED_INTERPRET = True
         try:
             monkeypatch.setenv("SDFA_LSTM_STAGE_BF16", "0")
@@ -391,10 +394,12 @@ class TestBf16InterLayerStaging:
         assert float(jnp.abs(out3 - out).max()) > 0
 
     def test_last_layer_staging_knob(self, rng, monkeypatch):
-        """SDFA_LSTM_STAGE_BF16_LAST=1 stages the FINAL layer too — NOT
-        value-identical (attention consumes it at MODEL_PREC), so it is a
-        measured-parity knob: assert the dtype plumbing and that the bf16
-        output is within bf16 rounding of the f32 one."""
+        """The FINAL layer's bf16 staging is the hardware-qualified
+        default (1671.5× vs 1646.8× realtime, trained parity 2.57e-6 m —
+        artifacts/batch_scaling_r4/); it is NOT value-identical
+        (attention consumes it at MODEL_PREC), so SDFA_LSTM_STAGE_BF16_
+        LAST=0 restores the f32 stack. Assert the dtype plumbing and that
+        the bf16 output is exactly the write-side rounding of f32."""
         mod = recurrent.LSTM(input_size=256, hidden_size=256, num_layers=2,
                              bias=False, bidirectional=True)
         x = _rand(rng, (4, 10, 256), 1.0)
@@ -402,8 +407,9 @@ class TestBf16InterLayerStaging:
         monkeypatch.setenv("SDFA_LSTM_PASSES", "1")
         recurrent._FREQ_FUSED_INTERPRET = True
         try:
+            monkeypatch.setenv("SDFA_LSTM_STAGE_BF16_LAST", "0")
             ref = mod.apply(variables, x)
-            monkeypatch.setenv("SDFA_LSTM_STAGE_BF16_LAST", "1")
+            monkeypatch.delenv("SDFA_LSTM_STAGE_BF16_LAST")
             out = mod.apply(variables, x)
         finally:
             recurrent._FREQ_FUSED_INTERPRET = False
