@@ -306,7 +306,12 @@ def decode_solve_free(
     # blocks may win; hardware sweeps set these without code edits).
     # None = env with 512 fallback; explicit keyword args always win.
     if block_rows is None:
-        block_rows = _env_int("SDFA_SOLVE_BLK", 512)
+        # 1024 beat 512 by 7.4% at the 128-clip serving shape (92.5 vs
+        # 99.9 ms/call, interleaved in-process A/B — tools/solve_tile_ab.py,
+        # artifacts/batch_scaling_r4/solve_blk_ab.json): bigger row blocks
+        # halve the per-block P re-streams. Row tiling never changes
+        # per-row math, so values are identical across block sizes.
+        block_rows = _env_int("SDFA_SOLVE_BLK", 1024)
     if eq_tile is None:
         eq_tile = _env_int("SDFA_SOLVE_EQT", 512)
     from .pallas_freq_lstm import _passes
