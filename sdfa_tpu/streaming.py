@@ -309,6 +309,14 @@ class StreamingServer:
       accumulation drift, and both ends re-base on the template at
       ``open()`` — steady state is exactly 1 byte/coordinate, half of
       i16 again, on the link that caps delivered capacity.
+    - **coefficient wire (``wire="coef"`` / ``"coef16"``)**: frames are
+      the raw (85+180,) PCA coefficients (f32 / f16 on the wire) — 14×
+      / 28× fewer bytes than i8d — and the device program is the
+      temporal suffix only (no PCA inversion, no deformation solve per
+      tick). The client reconstructs meshes locally with
+      ``CoefDecoder`` (one-time constants package; float64 decode, so
+      per-frame accuracy beats every quantized vertex wire). Emitted
+      frames are ``(ts_ms, coeffs (K,))``, not meshes.
     - **pipelined ticks (opt-in)**: ``pipeline=True`` makes ``tick()``
       dispatch this round's calls and return the *previous* round's
       frames, overlapping the dominant download with the next round's
@@ -347,7 +355,7 @@ class StreamingServer:
         self.emit_batch = int(emit_batch)
         self.BLOCK = int(block_frames)
         assert self.BLOCK >= 9
-        assert wire in ("f32", "i16", "i8d"), wire
+        assert wire in ("f32", "i16", "i8d", "coef", "coef16"), wire
         self._wire = wire
         self._lsb = np.float32(WIRE_LSB8 if wire == "i8d" else WIRE_LSB)
         self.pipeline = bool(pipeline)
@@ -621,10 +629,16 @@ class StreamingServer:
             return emitted
         if self._wire == "i16":
             flat = flat.astype(np.float32) * self._lsb
+        elif self._wire in ("coef", "coef16"):
+            # coefficient wire: frames are (K,) PCA coefficient vectors,
+            # NOT meshes — the client reconstructs with CoefDecoder
+            flat = flat.astype(np.float32)
+        coef = self._wire in ("coef", "coef16")
         emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}
         row = 0
         for sid, slot, batch in plan:
-            frames = [(ts, flat[row + j].reshape(-1, 3))
+            frames = [(ts, flat[row + j] if coef
+                       else flat[row + j].reshape(-1, 3))
                       for j, (w, f0, ts) in enumerate(batch)]
             row += len(batch)
             slot.inflight -= len(batch)
@@ -660,3 +674,103 @@ class StreamingServer:
         Pipelined: returns the PREVIOUS round's frames (one-tick latency;
         the download of round k−1 overlaps round k's device compute)."""
         return self.tick_collect(self.tick_dispatch())
+
+
+class CoefDecoder:
+    """CLIENT-side decoder for the coefficient wire
+    (``StreamingServer(task, wire="coef")`` / ``"coef16"``).
+
+    The coefficient wire ships (K,) = scale+rotat PCA coefficients per
+    frame (85+180 floats ≈ 1.06 kB f32 / 0.53 kB f16) instead of
+    (V, 3) vertices (15.1 kB at 1 byte/coordinate) — a 14–28× cut of
+    the download that sets delivered multi-stream capacity on
+    link-bound hosts (DESIGN.md §12.3/§12.9) — and drops the PCA
+    inversion + deformation solve from the per-tick device program.
+    This class is the wire's other end: it reconstructs meshes on the
+    client CPU from a one-time constants package (the two PCA bases,
+    ~a few MB, plus the prefactorized deformation system the template
+    mesh defines).
+
+    ``decode(coeffs)`` is fully batched: one PCA-decode matmul per
+    basis, vectorized Rodrigues rotation reconstruction, vectorized
+    RHS assembly, and ONE multi-RHS SuperLU back-substitution for all
+    frames. The math is exactly the reference's per-frame solve
+    (deform_triangle_impl.hpp:215-310) — i.e.
+    ``DeformationSolver.solve_host``, the float64 oracle the parity
+    tests pin the device path against — so coefficient-wire frames are
+    *more* accurate than any quantized vertex wire.
+
+    No reference counterpart: the reference is clip-offline and wires
+    nothing. This is the standard production split for animation
+    serving (tiny latent on the wire, deterministic decode at the
+    edge); it exists here because the model's vertex map factors as
+    (suffix → 265 coefficients) ∘ (fixed nonlinear decode) — the
+    second factor needs no accelerator.
+    """
+
+    def __init__(self, task):
+        from .models.sdfa import _interleave_perm
+        from .viewer import frame as frame_mod
+
+        hp, model = task.hp, task.model
+        assert hp.model.face_data_type == "dgrad_3d" and model.using_pca, (
+            "CoefDecoder matches the coefficient wire: dgrad_3d PCA heads")
+        col = "params" if model.pca_trainable else "constants"
+        col_tree = jax.device_get(task.variables[col])
+        sc, rc = col_tree["scale_pca"], col_tree["rotat_pca"]
+        # pca_apply (models/sdfa.py decode_to_anime): x = c @ compT.T + mean
+        self._sc_basis = np.asarray(sc["compT"], np.float64).T  # (Ks, T·6)
+        self._sc_mean = np.asarray(sc["means"], np.float64)
+        self._rc_basis = np.asarray(rc["compT"], np.float64).T  # (Kr, T·3)
+        self._rc_mean = np.asarray(rc["means"], np.float64)
+        self.n_scale = self._sc_basis.shape[0]
+        self.n_rotat = self._rc_basis.shape[0]
+        self.n_coefs = self.n_scale + self.n_rotat
+
+        solver = frame_mod.get_solver()
+        self._solver = solver
+        self.n_tris = solver.n_tris
+        assert self._sc_mean.shape[-1] == self.n_tris * 6, (
+            self._sc_mean.shape, self.n_tris)
+        self._perm = _interleave_perm(self.n_tris)  # [6 scale | 3 rotat]/tri
+        # equation gather: row block k of the RHS is Tᵀ[eq_src[k]], or the
+        # appended identity for correspondence-less rows (eq_src < 0)
+        self._eq_idx = np.where(
+            solver._eq_src < 0, self.n_tris, solver._eq_src)
+        if solver.n_cnsts > 0:
+            self._cnst = solver.template_verts[solver.cnst_indices]
+            self._arc = np.asarray(solver._ar @ self._cnst)  # (3·n_eqs, 3)
+        else:
+            self._cnst = None
+            self._arc = None
+
+    def decode(self, coeffs: np.ndarray) -> np.ndarray:
+        """(F, K) or (K,) wire coefficients → (F, V, 3) / (V, 3) metres
+        (float64 math throughout, float32 out — the same values
+        ``DeformationSolver.solve_host`` produces from the decoded
+        deformation-gradient frames)."""
+        c = np.asarray(coeffs, np.float64)
+        single = c.ndim == 1
+        if single:
+            c = c[None]
+        assert c.shape[-1] == self.n_coefs, (c.shape, self.n_coefs)
+        fr = len(c)
+        sol = self._solver
+        scale = c[:, : self.n_scale] @ self._sc_basis + self._sc_mean
+        rotat = c[:, self.n_scale :] @ self._rc_basis + self._rc_mean
+        flat = np.concatenate([scale, rotat], axis=-1)[:, self._perm]
+        tt = sol._transforms_t_np(flat.reshape(-1, 9)).reshape(
+            fr, self.n_tris, 3, 3)
+        ttx = np.concatenate(
+            [tt, np.broadcast_to(np.eye(3), (fr, 1, 3, 3))], axis=1)
+        d = ttx[:, self._eq_idx].reshape(fr, -1, 3)  # (F, 3·n_eqs, 3)
+        if self._arc is not None:
+            d = d - self._arc
+        rhs = sol._at @ d.transpose(1, 0, 2).reshape(-1, fr * 3)
+        x = sol._lu.solve(rhs)  # ONE back-substitution, F·3 RHS columns
+        out = np.zeros((fr, sol.n_verts, 3))
+        out[:, sol.free_ids] = x.reshape(-1, fr, 3).transpose(1, 0, 2)
+        if self._cnst is not None:
+            out[:, sol.cnst_indices] = self._cnst
+        out = out.astype(np.float32)
+        return out[0] if single else out

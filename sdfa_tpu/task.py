@@ -354,8 +354,41 @@ class AnimationTask:
         measured capacity ceiling of multi-stream serving (~30 MB/s
         effective on the axon tunnel; DESIGN.md §12.3). Quantization
         error ≤ WIRE_LSB/2 = 5e-6 m, far inside the 1e-4 serving budget;
-        FLAME-scale |coords| < 0.3 m < the ±0.327 m int16 range."""
+        FLAME-scale |coords| < 0.3 m < the ±0.327 m int16 range.
+
+        wire="coef"/"coef16" is the COEFFICIENT wire: the device runs the
+        temporal suffix + output heads ONLY — no PCA inversion, no
+        deformation solve — and downloads the raw (W, 85+180) PCA
+        coefficients (f32 / f16). The client reconstructs (V, 3) meshes
+        locally from a one-time constants package
+        (``streaming.CoefDecoder``). 1.06 kB (f32) or 0.53 kB (f16) per
+        frame vs 15.1 kB for the int8-delta vertex wire — on link-bound
+        hosts (the axon tunnel, any network serving edge) the download is
+        the delivered-capacity ceiling, so this is a 14–28× capacity
+        lever, and it removes the decode+solve from the per-tick device
+        program entirely (DESIGN.md §12.9)."""
         if wire not in self._verts_jit:
+            if wire in ("coef", "coef16"):
+                model = self.model
+                assert self.hp.model.face_data_type == "dgrad_3d" and \
+                    model.using_pca, (
+                        "the coefficient wire needs dgrad_3d PCA heads "
+                        "(85+180 coefficients); use a vertex wire for "
+                        f"face type {self.hp.model.face_data_type!r}")
+                raw_pca = bool(model.using_pca and not model.return_pca)
+
+                def fn(variables, consts, z_frames, frame_idx, spk):
+                    preds, _, _ = model.apply(
+                        variables, z_frames, frame_idx, spk, raw_pca=raw_pca,
+                        method=SpeechDrivenAnimation.forward_windows)
+                    out = jnp.concatenate(
+                        [preds["dgrad_3d_scale_pca"][:, 0],
+                         preds["dgrad_3d_rotat_pca"][:, 0]], axis=-1)
+                    return (out.astype(jnp.float16) if wire == "coef16"
+                            else out)
+
+                self._verts_jit[wire] = (jax.jit(fn), ())
+                return self._verts_jit[wire]
             base, consts = self._verts_base_fn()
             if wire == "f32":
                 fn = base

@@ -353,3 +353,41 @@ class TestServer:
         assert [t for t, _ in got] == list(ts_ref)
         np.testing.assert_allclose(np.stack([v for _, v in got]),
                                    verts_ref, atol=5e-5)
+
+    def test_coefficient_wire_and_client_decoder(self, shipped_task):
+        """wire="coef": the server ships the raw (85+180,) PCA
+        coefficients per frame — 14× fewer bytes than the int8-delta
+        vertex wire — and CoefDecoder reconstructs meshes on the client
+        that match offline generate_vertices; "coef16" halves the wire
+        again and stays inside the serving budget. The decode math is
+        the float64 solve oracle, so the coef wire's accuracy is set by
+        the device suffix, not by any wire quantization."""
+        from sdfa_tpu.streaming import CoefDecoder, StreamingServer
+
+        hp, task = shipped_task
+        sig = _sig(hp, seconds=1.3, seed=51)
+        ts_ref, verts_ref = task.generate_vertices(sig, 1)
+
+        dec = CoefDecoder(task)
+        n_v = verts_ref.shape[1]
+        assert dec.n_coefs * 4 < n_v * 3  # f32 coefs < 1 byte/coordinate
+        coefs = None
+        for wire, atol in (("coef", 5e-5), ("coef16", 5e-4)):
+            srv = StreamingServer(task, capacity=2, emit_batch=8,
+                                  wire=wire)
+            sid = srv.open(1)
+            srv.push(sid, sig)
+            srv.flush(sid)
+            got = []
+            while not srv.is_done(sid):
+                for _, frames in srv.tick().items():
+                    got.extend(frames)
+            assert [t for t, _ in got] == list(ts_ref), wire
+            coefs = np.stack([v for _, v in got])
+            assert coefs.shape == (len(ts_ref), dec.n_coefs)
+            verts = dec.decode(coefs)
+            err = np.abs(verts - verts_ref).max()
+            assert err <= atol, (wire, err)
+        # single-frame decode convenience matches the batched call
+        np.testing.assert_array_equal(dec.decode(coefs[0]),
+                                      dec.decode(coefs)[0])

@@ -150,7 +150,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, nargs="+", default=[8])
     ap.add_argument("--clip-s", type=float, default=8.0)
-    ap.add_argument("--wire", choices=["f32", "i16", "i8d"], default="i16")
+    ap.add_argument("--wire", choices=["f32", "i16", "i8d", "coef",
+                                       "coef16"], default="i16")
     ap.add_argument("--pipeline", action="store_true", default=True)
     ap.add_argument("--no-pipeline", dest="pipeline", action="store_false")
     ap.add_argument("--device-only", action="store_true")
@@ -175,6 +176,29 @@ def main():
         "device_only": args.device_only, "emit_batch": args.emit_batch,
         "block_frames": args.block_frames, "weights": src,
     }}
+    if args.wire.startswith("coef"):
+        # the client decodes its own stream on its own CPU — time it so
+        # the coef-wire capacity number carries the client-side cost
+        # (LU back-substitution cost is data-independent, random is fine)
+        from sdfa_tpu.streaming import CoefDecoder
+
+        dec = CoefDecoder(task)
+        batch = np.random.default_rng(0).normal(
+            size=(args.emit_batch, dec.n_coefs)).astype(np.float32) * 0.01
+        dec.decode(batch)  # warm numpy/scipy paths
+        t0 = time.perf_counter()
+        reps = 4
+        for _ in range(reps):
+            dec.decode(batch)
+        ms = (time.perf_counter() - t0) / (reps * len(batch)) * 1e3
+        fps = float(task._wspec().fps)
+        results["client_decode"] = {
+            "ms_per_frame": round(ms, 3),
+            "x_realtime_per_core": round(1e3 / (ms * fps), 2),
+            "emit_batch": args.emit_batch,
+        }
+        print(json.dumps({"client_decode": results["client_decode"]}),
+              flush=True)
     for i, n in enumerate(args.n):
         # first round at each N pays that N's batched-ring compile; run a
         # short discarded round first so the timed one is warm
