@@ -56,8 +56,13 @@ def main():
                         help="max concurrent live streams (serve)")
     parser.add_argument("--emit_batch", type=int, default=16)
     parser.add_argument("--block_frames", type=int, default=16)
-    parser.add_argument("--device_wire", choices=["i16", "f32", "i8d"], default="i16",
-                        help="device→host vertex wire format (serve)")
+    parser.add_argument("--device_wire",
+                        choices=["i16", "f32", "i8d", "coef", "coef16"],
+                        default="i16",
+                        help="device→host wire format (serve): i16/f32/"
+                        "i8d ship vertices; coef/coef16 ship 265 PCA "
+                        "coefficients the client decodes locally "
+                        "(streaming.CoefDecoder)")
     parser.add_argument("--no_pipeline", action="store_true",
                         help="disable pipelined ticks (serve)")
     # deformation asset overrides (reference __main__.py:15-17)

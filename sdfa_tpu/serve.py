@@ -105,6 +105,10 @@ class ServeApp:
                                    emit_batch=emit_batch,
                                    block_frames=block_frames, wire=wire,
                                    pipeline=pipeline)
+        # announced in every open-ok reply: under the coefficient wires
+        # frame payloads are (K,) PCA coefficients the client decodes
+        # locally (streaming.CoefDecoder), not (V, 3) meshes
+        self.wire = wire
         self.lock = threading.Lock()
         self.owner: Dict[int, _Client] = {}
         self.idle_sleep = idle_sleep
@@ -254,7 +258,8 @@ class _Handler(socketserver.BaseRequestHandler):
         op = header.get("op")
         if op == "open":
             sid = app.open(client, header.get("speaker", 0))
-            client.outbox.put(({"op": "ok", "sid": sid}, b""))
+            client.outbox.put(
+                ({"op": "ok", "sid": sid, "wire": app.wire}, b""))
         elif op == "push":
             samples = np.frombuffer(payload, dtype="<f4")
             app.push(client, int(header["sid"]), samples)
@@ -325,6 +330,9 @@ class StreamClient:
         header, _ = self._next()
         if header["op"] == "error":
             raise RuntimeError(header["msg"])
+        # "coef"/"coef16" → frames() yields (ts, coeffs (K,)): decode
+        # locally with streaming.CoefDecoder (pass decoder= to frames())
+        self.wire = header.get("wire", "i16")
         return int(header["sid"])
 
     def push(self, sid: int, samples) -> None:
@@ -338,8 +346,13 @@ class StreamClient:
     def close(self, sid: int) -> None:
         send_msg(self.sock, {"op": "close", "sid": sid})
 
-    def frames(self, sid: int):
+    def frames(self, sid: int, decoder=None):
         """Yield (ts_ms, verts (V,3) f32) until the stream's done marker.
+
+        Under the coefficient wires (``self.wire`` after open()) frames
+        arrive as (K,) PCA coefficient vectors; pass a
+        ``streaming.CoefDecoder`` as ``decoder`` to yield reconstructed
+        (V, 3) meshes instead (decoded batched, one call per message).
 
         Iterates one sid at a time: messages for OTHER sids of this
         connection arriving meanwhile are skipped — open one connection
@@ -355,6 +368,8 @@ class StreamClient:
                 shape = tuple(header["shape"])
                 verts = np.frombuffer(payload, dtype="<f4").reshape(
                     (len(header["ts"]),) + shape)
+                if decoder is not None:
+                    verts = decoder.decode(verts)
                 for ts, v in zip(header["ts"], verts):
                     yield ts, v
 

@@ -744,6 +744,40 @@ class CoefDecoder:
             self._cnst = None
             self._arc = None
 
+    @staticmethod
+    def _transforms_t_fast(dgrad: np.ndarray) -> np.ndarray:
+        """``DeformationSolver._transforms_t_np`` with the Rodrigues
+        matrix written out elementwise (c + x²C … instead of building K
+        and batch-multiplying K@K) — algebraically identical, ~5× faster
+        on the client CPU where this is the decode's hot stage; equality
+        to the oracle is pinned by the coef-wire test."""
+        n = len(dgrad)
+        s = np.zeros((n, 3, 3))
+        s[:, 0, 0] = dgrad[:, 0] + 1.0
+        s[:, 0, 1] = s[:, 1, 0] = dgrad[:, 1]
+        s[:, 0, 2] = s[:, 2, 0] = dgrad[:, 2]
+        s[:, 1, 1] = dgrad[:, 3] + 1.0
+        s[:, 1, 2] = s[:, 2, 1] = dgrad[:, 4]
+        s[:, 2, 2] = dgrad[:, 5] + 1.0
+        w = np.stack([-dgrad[:, 8], dgrad[:, 7], -dgrad[:, 6]], axis=-1)
+        angle = np.linalg.norm(w, axis=-1)
+        small = angle < 1e-6  # same cutoff as the oracle: R = I
+        x, y, z = (w / np.where(small, 1.0, angle)[:, None]).T
+        c, si = np.cos(angle), np.sin(angle)
+        cc = 1.0 - c
+        r = np.empty((n, 3, 3))
+        r[:, 0, 0] = c + x * x * cc
+        r[:, 0, 1] = x * y * cc - z * si
+        r[:, 0, 2] = x * z * cc + y * si
+        r[:, 1, 0] = x * y * cc + z * si
+        r[:, 1, 1] = c + y * y * cc
+        r[:, 1, 2] = y * z * cc - x * si
+        r[:, 2, 0] = x * z * cc - y * si
+        r[:, 2, 1] = y * z * cc + x * si
+        r[:, 2, 2] = c + z * z * cc
+        r[small] = np.eye(3)
+        return np.swapaxes(r @ s, -1, -2)
+
     def decode(self, coeffs: np.ndarray) -> np.ndarray:
         """(F, K) or (K,) wire coefficients → (F, V, 3) / (V, 3) metres
         (float64 math throughout, float32 out — the same values
@@ -759,7 +793,7 @@ class CoefDecoder:
         scale = c[:, : self.n_scale] @ self._sc_basis + self._sc_mean
         rotat = c[:, self.n_scale :] @ self._rc_basis + self._rc_mean
         flat = np.concatenate([scale, rotat], axis=-1)[:, self._perm]
-        tt = sol._transforms_t_np(flat.reshape(-1, 9)).reshape(
+        tt = self._transforms_t_fast(flat.reshape(-1, 9)).reshape(
             fr, self.n_tris, 3, 3)
         ttx = np.concatenate(
             [tt, np.broadcast_to(np.eye(3), (fr, 1, 3, 3))], axis=1)

@@ -159,3 +159,38 @@ def test_slot_released_on_disconnect(server):
             except RuntimeError:
                 time.sleep(0.1)
     pytest.fail("slots not released after disconnect")  # pragma: no cover
+
+
+def test_coef_wire_over_tcp(shipped_task):
+    """A coef-wire service announces the wire at open(); frames cross as
+    (K,) coefficient payloads and the client reconstructs meshes with
+    CoefDecoder (frames(decoder=...)), matching offline to solve-oracle
+    accuracy — no wire quantization term at all."""
+    from sdfa_tpu.streaming import CoefDecoder
+
+    hp, task = shipped_task
+    app = ServeApp(task, capacity=2, emit_batch=16, block_frames=16,
+                   wire="coef", pipeline=True)
+    srv = StreamServerTCP(("127.0.0.1", 0), app)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        sig = _sig(hp, seconds=1.1, seed=9)
+        ts_ref, verts_ref = task.generate_vertices(sig, speaker=1)
+        dec = CoefDecoder(task)
+        with StreamClient(srv.server_address) as c:
+            sid = c.open(speaker=1)
+            assert c.wire == "coef"
+            c.push(sid, sig)
+            c.flush(sid)
+            got = list(c.frames(sid, decoder=dec))
+        assert [t for t, _ in got] == list(ts_ref)
+        verts = np.stack([v for _, v in got])
+        err = float(np.abs(
+            verts - np.asarray(verts_ref).reshape(verts.shape)).max())
+        assert err <= 5e-5, err
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        app.shutdown()
+        thread.join(timeout=10)

@@ -391,3 +391,9 @@ class TestServer:
         # single-frame decode convenience matches the batched call
         np.testing.assert_array_equal(dec.decode(coefs[0]),
                                       dec.decode(coefs)[0])
+        # the decoder's closed-form Rodrigues == the f64 solve oracle's
+        # (elementwise c+x²C… vs I+sK+CK² — identical algebra)
+        dg = np.random.default_rng(2).normal(size=(512, 9)) * 0.2
+        np.testing.assert_allclose(
+            dec._transforms_t_fast(dg),
+            dec._solver._transforms_t_np(dg), atol=1e-13, rtol=1e-13)
