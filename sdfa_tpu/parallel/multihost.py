@@ -36,9 +36,14 @@ def maybe_initialize_distributed(
     multi-process runtime is (already) up, False on a plain single-process
     run — callers need no further branching: ``jax.process_count()`` is
     correct either way.
+
+    NOTE: must not touch jax.process_count()/devices() before initialize —
+    that would initialize the XLA backends and make initialize() itself
+    fail ("backends already initialized"). Proven for real by
+    tools/multiproc_train.py (2 OS processes × 4 virtual CPU devices).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized (e.g. by the launcher)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1  # e.g. initialized by the launcher
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -656,6 +656,8 @@ class Trainer:
                 self._prof_active = True
             lr, b1 = exp.current_lr(self._host_step)
             step_rng = jax.random.fold_in(exp.rng_base, self._host_step)
+            # TB-only payloads (audio clips) never ride the device upload
+            host_extra = {k: batch.pop(k) for k in ("signal",) if k in batch}
             batch = exp.put_batch(batch)
             exp.state, metrics = exp.train_step_fn(
                 exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
@@ -695,8 +697,8 @@ class Trainer:
                 exp.rng, plot_rng = jax.random.split(exp.rng)
                 outputs = jax.device_get(exp.plot_forward_fn(exp.state, batch, plot_rng))
                 summary_lib.run_plot_plugins(
-                    exp.summary, exp, jax.device_get(batch), outputs,
-                    int(jax.device_get(exp.state.step)),
+                    exp.summary, exp, {**jax.device_get(batch), **host_extra},
+                    outputs, int(jax.device_get(exp.state.step)),
                 )
         self._run_hooks("post_train", epoch=exp.epoch)
         if self._prof_active:  # run ended inside the capture window — flush

@@ -162,6 +162,65 @@ class TestPlotPlugins:
         assert found, "plot plugin image tag not found in TB events"
 
 
+class TestMeshAudioPlugins:
+    def test_mesh_and_audio_plugins_write_events(self, tmp_path):
+        """The pred/true-mesh and audio-clip TB plugins (reference
+        logger.py:14-34 plot_anime_frames + :95-103 _add_audio) run against
+        the real flagship model and land their tags in the event files
+        (VERDICT r4 #9)."""
+        import sys
+        import types
+
+        sys.path.insert(0, "tests")
+        import glob
+
+        import jax.numpy as jnp
+        from _assets import ensure_pca_assets
+
+        from sdfa_tpu.models import build_model
+        from sdfa_tpu.tools import configure
+        from sdfa_tpu.train import summary as summary_lib
+
+        hp = configure("dgrad", dataset_root=ensure_pca_assets())
+        model = build_model(hp, load_pca=True)
+        rng = jax.random.PRNGKey(0)
+        feats = jnp.zeros((2, 64, 128, 3), jnp.float32)
+        spk = jnp.zeros((2,), jnp.int32)
+        variables = model.init({"params": rng, "dropout": rng},
+                               feats, spk, False)
+        preds, _, aligns = model.apply(variables, feats, spk, False)
+
+        state = types.SimpleNamespace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            constants=variables.get("constants", {}))
+        exp = types.SimpleNamespace(model=model, state=state, hp=hp)
+        gen = np.random.default_rng(0)
+        batch = {
+            "audio_feat": np.asarray(feats),
+            "speaker_id": np.zeros((2,), np.int32),
+            "dgrad_3d_scale": gen.normal(
+                0, 0.001, (2, 1, 9976, 6)).astype(np.float32),
+            "dgrad_3d_rotat": gen.normal(
+                0, 0.001, (2, 1, 9976, 3)).astype(np.float32),
+            "signal": gen.normal(0, 0.1, (2, 4544)).astype(np.float32),
+        }
+        outputs = dict(prediction=jax.device_get(preds),
+                       align_dict=jax.device_get(aligns),
+                       audio_feat=np.asarray(feats))
+        summary = summary_lib.SummaryHelper(str(tmp_path / "tb"))
+        assert summary.enabled
+        summary_lib.run_plot_plugins(summary, exp, batch, outputs, 1)
+        summary.flush()
+
+        blob = b""
+        for ev in glob.glob(str(tmp_path / "tb" / "events.out.tfevents*")):
+            with open(ev, "rb") as fp:
+                blob += fp.read()
+        for tag in (b"frame-pred", b"frame-true", b"audio-signal"):
+            assert tag in blob, f"plugin tag {tag} missing from TB events"
+
+
 class TestSaveGapSteps:
     def test_step_cadence_checkpoints(self, tmp_path):
         """save_gap_steps checkpoints every N optimizer steps
