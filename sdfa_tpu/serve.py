@@ -14,15 +14,24 @@ payload bytes`` where the header's ``nbytes`` states the payload length
 
 Client → server ops:
 
-- ``{"op": "open", "speaker": int|str}``            → ``{"ok", "sid"}``
+- ``{"op": "open", "speaker": int|str}`` →
+  ``{"op": "ok", "sid", "wire", ["coef_fp"]}`` — ``wire`` announces the
+  frame payload type for the whole connection; under the coefficient
+  wires ``coef_fp`` carries the decode-system fingerprint the client's
+  ``CoefDecoder`` must match (template/constraints identity).
 - ``{"op": "push", "sid", "nbytes"}`` + f32le mono samples (model rate)
 - ``{"op": "flush", "sid"}``   end of utterance (server zero-pads)
 - ``{"op": "close", "sid"}``   free the slot early
 
 Server → client (unsolicited, as ticks produce frames):
 
-- ``{"op": "frames", "sid", "ts": [ms...], "shape": [V, 3], "nbytes"}``
-  + payload: count·V·3 float32le vertex values
+- ``{"op": "frames", "sid", "ts": [ms...], "shape": [...], "dtype",
+  "nbytes"}`` + payload: count·prod(shape) values of ``dtype`` (numpy
+  typestr). Shape/payload depend on the announced wire: vertex wires
+  (``f32``/``i16``/``i8d``) ship ``shape=[V, 3]`` float32le vertices;
+  the coefficient wires ship ``shape=[K]`` PCA coefficients —
+  ``"<f4"`` under ``coef``, ``"<f2"`` under ``coef16`` (kept f16 end
+  to end; decode locally with ``streaming.CoefDecoder``).
 - ``{"op": "done", "sid"}``    every frame of a flushed stream delivered
 - ``{"op": "error", "msg"}``
 
@@ -107,8 +116,14 @@ class ServeApp:
                                    pipeline=pipeline)
         # announced in every open-ok reply: under the coefficient wires
         # frame payloads are (K,) PCA coefficients the client decodes
-        # locally (streaming.CoefDecoder), not (V, 3) meshes
+        # locally (streaming.CoefDecoder), not (V, 3) meshes — plus the
+        # decode-system fingerprint the client's decoder must match
         self.wire = wire
+        self.coef_fp = None
+        if wire in ("coef", "coef16"):
+            from .streaming import CoefDecoder
+
+            self.coef_fp = CoefDecoder(task).fingerprint()
         self.lock = threading.Lock()
         self.owner: Dict[int, _Client] = {}
         self.idle_sleep = idle_sleep
@@ -217,10 +232,15 @@ class ServeApp:
                 progressed = True
                 ts = [float(t) for t, _ in frames]
                 verts = np.stack([v for _, v in frames])
+                # frames ship in the wire's own dtype — coef16 stays f16
+                # on the TCP link too (the byte saving IS the wire)
+                if verts.dtype not in (np.float16,):
+                    verts = verts.astype(np.float32, copy=False)
+                le = verts.dtype.newbyteorder("<")
                 client.outbox.put((
                     {"op": "frames", "sid": sid, "ts": ts,
-                     "shape": list(verts.shape[1:])},
-                    np.ascontiguousarray(verts, np.float32).tobytes()))
+                     "shape": list(verts.shape[1:]), "dtype": le.str},
+                    np.ascontiguousarray(verts.astype(le)).tobytes()))
         if not progressed:
             # nothing emitted: park until a client acts (or timeout —
             # flushed streams may still have windows to drain)
@@ -258,8 +278,10 @@ class _Handler(socketserver.BaseRequestHandler):
         op = header.get("op")
         if op == "open":
             sid = app.open(client, header.get("speaker", 0))
-            client.outbox.put(
-                ({"op": "ok", "sid": sid, "wire": app.wire}, b""))
+            reply = {"op": "ok", "sid": sid, "wire": app.wire}
+            if app.coef_fp is not None:
+                reply["coef_fp"] = app.coef_fp
+            client.outbox.put((reply, b""))
         elif op == "push":
             samples = np.frombuffer(payload, dtype="<f4")
             app.push(client, int(header["sid"]), samples)
@@ -331,8 +353,11 @@ class StreamClient:
         if header["op"] == "error":
             raise RuntimeError(header["msg"])
         # "coef"/"coef16" → frames() yields (ts, coeffs (K,)): decode
-        # locally with streaming.CoefDecoder (pass decoder= to frames())
+        # locally with streaming.CoefDecoder (pass decoder= to frames());
+        # coef_fp is the server's decode-system fingerprint — frames()
+        # asserts any passed decoder matches it before decoding
         self.wire = header.get("wire", "i16")
+        self.coef_fp = header.get("coef_fp")
         return int(header["sid"])
 
     def push(self, sid: int, samples) -> None:
@@ -357,6 +382,8 @@ class StreamClient:
         Iterates one sid at a time: messages for OTHER sids of this
         connection arriving meanwhile are skipped — open one connection
         per concurrent stream if you need interleaved consumption."""
+        if decoder is not None:
+            decoder.check_fingerprint(getattr(self, "coef_fp", None))
         while True:
             header, payload = self._next()
             op = header["op"]
@@ -366,7 +393,8 @@ class StreamClient:
                 return
             if op == "frames" and header["sid"] == sid:
                 shape = tuple(header["shape"])
-                verts = np.frombuffer(payload, dtype="<f4").reshape(
+                verts = np.frombuffer(
+                    payload, dtype=header.get("dtype", "<f4")).reshape(
                     (len(header["ts"]),) + shape)
                 if decoder is not None:
                     verts = decoder.decode(verts)

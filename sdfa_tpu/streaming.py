@@ -629,10 +629,13 @@ class StreamingServer:
             return emitted
         if self._wire == "i16":
             flat = flat.astype(np.float32) * self._lsb
-        elif self._wire in ("coef", "coef16"):
+        elif self._wire == "coef":
             # coefficient wire: frames are (K,) PCA coefficient vectors,
             # NOT meshes — the client reconstructs with CoefDecoder
             flat = flat.astype(np.float32)
+        # coef16 stays float16 END TO END: upcasting here would throw away
+        # the wire's entire byte saving on any serving edge past this host
+        # (ADVICE r4) — CoefDecoder.decode upcasts to f64 itself
         coef = self._wire in ("coef", "coef16")
         emitted: Dict[int, List[Tuple[float, np.ndarray]]] = {}
         row = 0
@@ -743,6 +746,42 @@ class CoefDecoder:
         else:
             self._cnst = None
             self._arc = None
+
+    def fingerprint(self) -> dict:
+        """Identity of the decode system this client reconstructs with.
+
+        The decoder builds from the process-global template/constraints
+        (viewer.frame.get_solver()); a client process with different
+        --template/--constraints/--corres overrides than the server would
+        silently decode against a different prefactorized system (ADVICE
+        r4). The server announces its fingerprint in the open-ok reply;
+        ``check_fingerprint`` asserts they match before any frame decodes.
+        """
+        import hashlib
+
+        sol = self._solver
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(
+            sol.template_verts.astype(np.float32)).tobytes())
+        h.update(np.ascontiguousarray(
+            np.asarray(sol._eq_src, np.int64)).tobytes())
+        if sol.n_cnsts > 0:
+            h.update(np.ascontiguousarray(
+                np.asarray(sol.cnst_indices, np.int64)).tobytes())
+        return {"n_tris": int(self.n_tris), "n_coefs": int(self.n_coefs),
+                "n_cnsts": int(sol.n_cnsts),
+                "system_sha1": h.hexdigest()[:16]}
+
+    def check_fingerprint(self, fp: Optional[dict]) -> None:
+        """Assert this decoder matches the server-announced fingerprint
+        (no-op when the server predates the field / wire is not coef)."""
+        if not fp:
+            return
+        mine = self.fingerprint()
+        assert mine == dict(fp), (
+            f"coef-wire decode system mismatch: client {mine} vs server "
+            f"{dict(fp)} — the client process must mirror the server's "
+            "--template/--constraints/--corres asset overrides")
 
     @staticmethod
     def _transforms_t_fast(dgrad: np.ndarray) -> np.ndarray:

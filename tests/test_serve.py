@@ -194,3 +194,50 @@ def test_coef_wire_over_tcp(shipped_task):
         srv.server_close()
         app.shutdown()
         thread.join(timeout=10)
+
+
+def test_coef16_wire_stays_f16_on_tcp_and_fingerprint_checked(shipped_task):
+    """coef16 payloads cross the TCP link as float16 (the byte saving is
+    the point of the wire — ADVICE r4), the open-ok reply carries the
+    decode-system fingerprint, and a mismatched fingerprint is rejected
+    before any frame decodes."""
+    from sdfa_tpu.streaming import CoefDecoder
+
+    hp, task = shipped_task
+    app = ServeApp(task, capacity=2, emit_batch=16, block_frames=16,
+                   wire="coef16", pipeline=True)
+    srv = StreamServerTCP(("127.0.0.1", 0), app)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        sig = _sig(hp, seconds=1.1, seed=9)
+        ts_ref, verts_ref = task.generate_vertices(sig, speaker=1)
+        dec = CoefDecoder(task)
+        with StreamClient(srv.server_address) as c:
+            sid = c.open(speaker=1)
+            assert c.wire == "coef16"
+            assert c.coef_fp == dec.fingerprint()
+            c.push(sid, sig)
+            c.flush(sid)
+            got = list(c.frames(sid))  # undecoded: raw wire payloads
+        assert [t for t, _ in got] == list(ts_ref)
+        coefs = np.stack([v for _, v in got])
+        assert coefs.dtype == np.float16, coefs.dtype  # f16 END TO END
+        verts = dec.decode(coefs)
+        err = float(np.abs(
+            verts - np.asarray(verts_ref).reshape(verts.shape)).max())
+        assert err <= 5e-4, err
+
+        # tampered fingerprint → loud rejection before decode
+        with StreamClient(srv.server_address) as c:
+            sid = c.open(speaker=1)
+            c.coef_fp = dict(c.coef_fp, system_sha1="0" * 16)
+            c.push(sid, sig)
+            c.flush(sid)
+            with pytest.raises(AssertionError, match="decode system"):
+                list(c.frames(sid, decoder=dec))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        app.shutdown()
+        thread.join(timeout=10)
