@@ -1,20 +1,22 @@
 """Matplotlib-based plotting utilities (S20).
 
-Reference: saber/data/visualizer/easy_plot.py — the full surface: the
-``plot_item`` per-cell descriptor with its draw modes (curve, (x, y) pair,
-image with colorbar + index labels, RGB image, aligned-transcription strip,
-labeled rectangles), the row/column grid allocator with per-cell colorbar
-axes (easy_plot.py:357-417), value-range unification ("auto"/"same",
-easy_plot.py:219-239), ``color_mapping`` (viridis → uint8 image),
-figure→numpy conversion, and ``draw_figure`` save/convert.
+Covers the surface of saber/data/visualizer/easy_plot.py — per-cell plot
+descriptors with curve / (x, y) pair / heatmap-with-colorbar / RGB-image /
+aligned-transcription / labeled-bars modes, a row×column grid with
+per-cell colorbars, "auto"/"same" value-range unification, ``color_mapping``
+(colormap → uint8 image), and figure→numpy / save helpers — but is an
+independent implementation, not a port: cells classify themselves into a
+``kind`` at construction and rendering dispatches through a module-level
+renderer registry; the grid is laid out with a matplotlib ``GridSpec``
+(alternating cell/colorbar columns) instead of hand-placed inch-ratio axes.
 
-Divergence, documented: the reference's aligned-transcription draw fn
-(easy_plot.py:420-456) imports ``saber.data.forced_alignment.transcription
-.Transcription`` — a module that does not exist anywhere in the reference
-checkout, so that path raises ImportError upstream if ever invoked. Here
-``Transcription``/``Word`` ship as self-contained lightweight carriers with
-the duck-typed surface the draw fn needs (``transcript``, ``words[i].word/
-.start/.end``), so the mode actually works.
+Divergence, documented: the reference's aligned-transcription mode imports
+``saber.data.forced_alignment.transcription.Transcription`` — a module that
+does not exist anywhere in the reference checkout, so that path raises
+ImportError upstream if ever invoked. Here ``Transcription``/``Word`` ship
+as self-contained lightweight carriers with the duck-typed surface the
+renderer needs (``transcript``, ``words[i].word/.start/.end``), so the mode
+actually works.
 
 Everything imports matplotlib lazily and forces the Agg backend — these run
 headless (TB plot plugins, eval image tracks, dataset QA plots).
@@ -22,16 +24,21 @@ headless (TB plot plugins, eval image tracks, dataset QA plots).
 
 from __future__ import annotations
 
+import itertools
 import math
 import os
 from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Union
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
 DEFAULT_CMAP = "viridis"
 DEFAULT_FONT_SIZE = 12
-_title_height = None
+
+# cell geometry (inches); widths derive from the grid's data aspect
+_CELL_H = 2.5
+_BAR_FRAC = 0.04   # colorbar width as a fraction of its cell's width
+_LABEL_SIZE = DEFAULT_FONT_SIZE * 0.8
 
 
 def _plt():
@@ -65,224 +72,216 @@ class Transcription:
 
 
 # ---------------------------------------------------------------------------
-# plot_item: one grid cell — data + range + draw mode (easy_plot.py:29-189)
+# cells: data classified into a render kind at construction
 
 
-def _get_title_height() -> float:
-    """Title-line height in figure-size units (easy_plot.py:15-26)."""
-    global _title_height
-    if _title_height is None:
-        plt = _plt()
-        f = plt.figure(figsize=(1, 1))
-        r = f.canvas.get_renderer()
-        t = plt.text(0.0, 0.0, "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-                                "abcdefghijklmnopqrstuvwxyz")
-        bb = t.get_tightbbox(renderer=r)
-        _title_height = (bb.height * 1.4) / f.bbox.bounds[-1]
-        plt.close(f)
-    return _title_height
+_RENDERERS: Dict[str, Callable] = {}
+
+
+def renderer(kind: str):
+    """Register the draw routine for one cell kind: fn(cell, ax, cax)."""
+
+    def deco(fn):
+        _RENDERERS[kind] = fn
+        return fn
+
+    return deco
 
 
 class plot_item(dict):
-    """Cell descriptor: coerces data, records x/y extent + value range,
-    binds a draw fn (default dispatches on the data shape + kwargs)."""
+    """One grid cell. Dict-backed (attribute reads/writes mirror keys, and
+    extra kwargs ride along for the renderer), but all classification
+    happens here: the constructor normalizes the data and picks ``kind``,
+    so rendering is a flat registry dispatch with no shape sniffing.
+
+    Kinds: ``xy`` (two 1-d arrays), ``curve`` (one 1-d array), ``aligned``
+    (1-d + transcription + sample rate), ``bars`` (1-d + labels +
+    rectangle=True), ``heat`` (2-d, gets a colorbar), ``rgb`` (H×W×{3,4};
+    C-first and single-channel inputs are coerced).
+    """
 
     def __init__(self, item, title: str = "", vmin=None, vmax=None,
                  draw_fn=None, cmap: str = DEFAULT_CMAP, **kwargs):
-        x_length = y_length = 0
+        kind, item, span, lo, hi = self._classify(item, kwargs, title)
+        super().__init__(
+            item=item, title=title,
+            title_lines=title.count("\n") + 1 if title else 0,
+            vmin=lo if vmin is None else float(vmin),
+            vmax=hi if vmax is None else float(vmax),
+            x_length=span[0], y_length=span[1],
+            kind=kind, draw_fn=draw_fn, cmap=cmap, **kwargs)
+        if draw_fn is not None:
+            assert callable(draw_fn), "draw_fn must be callable(cell, ax, cax)"
+
+    @staticmethod
+    def _classify(item, kwargs, title):
+        """→ (kind, normalized item, (x_len, y_len), vmin, vmax)."""
         if isinstance(item, (list, tuple)):
-            # (x, y) curve pair
-            item = [np.asarray(x) for x in item]
-            assert len(item) == 2, "[plot_item]: (x, y) needs two arrays"
-            for x in item:
-                assert x.ndim == 1, "[plot_item]: given (x, y), both 1d."
-            x_length = float(item[0].max() - item[0].min())
-            y_length = 1
-            vmin = float(item[1].min()) if vmin is None else vmin
-            vmax = float(item[1].max()) if vmax is None else vmax
-        else:
-            item = np.asarray(item)
-            if item.ndim == 1:
-                x_length, y_length = len(item), 1
-            elif 2 <= item.ndim <= 3:
-                if item.ndim == 3:
-                    if item.shape[0] in (1, 3, 4):  # CHW → HWC
-                        item = item.transpose(1, 2, 0)
-                    assert item.shape[2] in (1, 3, 4), (
-                        f"invalid image shape of '{title}': {item.shape}")
-                    if item.shape[2] == 1:  # gray → rgb
-                        item = np.tile(item, (1, 1, 3))
-                x_length, y_length = item.shape[1], item.shape[0]
+            xs, ys = (np.asarray(a) for a in item)
+            assert xs.ndim == ys.ndim == 1, "an (x, y) pair needs 1-d arrays"
+            return ("xy", (xs, ys), (float(xs.max() - xs.min()), 1),
+                    float(ys.min()), float(ys.max()))
+        item = np.asarray(item)
+        if item.ndim == 1:
+            if kwargs.get("aligned_transcription") is not None and (
+                    kwargs.get("sample_rate") or kwargs.get("sr")):
+                kind = "aligned"
+            elif kwargs.get("labels") is not None and kwargs.get("rectangle"):
+                kind = "bars"
             else:
-                raise NotImplementedError(
-                    f"[plot_item]: {item.ndim} dim is not supported")
-            vmin = float(item.min()) if vmin is None else vmin
-            vmax = float(item.max()) if vmax is None else vmax
-        if draw_fn is None:
-            draw_fn = plot_item._default_draw
-        assert x_length > 0 and y_length > 0
-        _check_draw_fn(draw_fn)
-        title_lines = 0 if len(title) == 0 else len(title.split("\n"))
-        super().__init__(item=item, title=title, title_lines=title_lines,
-                         vmin=vmin, vmax=vmax, x_length=x_length,
-                         y_length=y_length, draw_fn=draw_fn, cmap=cmap,
-                         **kwargs)
+                kind = "curve"
+            return (kind, item, (len(item), 1),
+                    float(item.min()), float(item.max()))
+        if item.ndim == 2:
+            return ("heat", item, (item.shape[1], item.shape[0]),
+                    float(item.min()), float(item.max()))
+        if item.ndim == 3:
+            if item.shape[0] in (1, 3, 4) and item.shape[-1] not in (3, 4):
+                item = np.moveaxis(item, 0, -1)  # channels-first → last
+            assert item.shape[-1] in (1, 3, 4), (
+                f"invalid image shape of '{title}': {item.shape}")
+            if item.shape[-1] == 1:
+                item = np.repeat(item, 3, axis=-1)
+            return ("rgb", item, (item.shape[1], item.shape[0]),
+                    float(item.min()), float(item.max()))
+        raise NotImplementedError(f"[plot_item]: {item.ndim}-d data")
 
     def __getattr__(self, attr):
-        if attr in self:
+        try:
             return self[attr]
-        raise AttributeError(attr)
+        except KeyError:
+            raise AttributeError(attr) from None
 
     def __setattr__(self, attr, value):
-        # vmin/vmax get reassigned by set_value_range — keep dict + attr
-        # views coherent (the reference relies on dict-subclass semantics)
         self[attr] = value
 
     def draw(self, ax, cax):
-        ax.tick_params(labelsize=DEFAULT_FONT_SIZE * 0.8)
-        cax.tick_params(labelsize=DEFAULT_FONT_SIZE * 0.8)
-        self.draw_fn(self, ax, cax)
-
-    @staticmethod
-    def _default_draw(self, ax, cax):
-        plt = _plt()
-        if isinstance(self.item, (tuple, list)):  # (x, y) pair
-            ax.set_title(self.title)
-            ax.set_xlim(0, self.x_length)
-            ax.set_ylim(self.vmin, self.vmax)
-            ax.plot(self.item[0], self.item[1])
-            cax.axis("off")
-        elif self.item.ndim == 1:
-            if (self.get("aligned_transcription") is not None
-                    and (self.get("sample_rate") or self.get("sr"))):
-                draw_fn_aligned_audio_transcription(self, ax, cax)
-            elif self.get("labels") is not None and self.get("rectangle",
-                                                             False):
-                draw_fn_rectangles(self, ax, cax)
-            else:
-                ax.set_title(self.title)
-                ax.set_xlim(0, self.x_length)
-                if self.vmin != self.vmax:
-                    ax.set_ylim(self.vmin, self.vmax)
-                ax.plot(np.arange(0, self.x_length), self.item)
-                cax.axis("off")
-        elif self.item.ndim == 2:
-            ax.set_title(self.title)
-            im = ax.imshow(self.item, vmin=self.vmin, vmax=self.vmax,
-                           cmap=self.cmap, aspect="auto")
-            plt.colorbar(im, cax=cax)
-            ax.invert_yaxis()
-            if self.get("index_labels") is not None:
-                _draw_index_labels(self, ax, self.get("index_labels"),
-                                   ymin=0, ymax=self.item.shape[0])
-        elif self.item.ndim == 3:
-            ax.set_title(self.title)
-            ax.imshow(self.item)
-            ax.axis("off")
-            cax.axis("off")
-
-
-def _draw_index_labels(item: plot_item, ax, labels, ymin, ymax):
-    """Vertical label ticks over an image (easy_plot.py:153-182): one line
-    + staggered text per label change (or per index with each_index)."""
-    import matplotlib.lines as mlines
-
-    assert len(labels) == item.x_length, (
-        f"data length is {item.x_length}, but {len(labels)} labels.")
-    line_color = item.get("line_color", "black")
-    text_color = item.get("text_color", "white")
-    each_index = item.get("each_index", False)
-    yheight = ymax - ymin
-    yrange = [ymin, ymax]
-    height_percent = 0.10
-    ymin = ymin + height_percent * yheight / 10
-    ymax = ymax - height_percent * yheight / 5
-    y_pos = ymin
-    last_word = ""
-    todo_text = []
-    for i, the_word in enumerate(labels):
-        start = int(i)
-        if (not each_index) and len(str(the_word)) and the_word == last_word:
-            continue
-        ax.add_line(mlines.Line2D([start, start], yrange, linewidth=1,
-                                  linestyle="-", c=line_color, alpha=0.5))
-        todo_text.append((start, y_pos, str(the_word)))
-        y_pos += height_percent * yheight
-        if y_pos > ymax:
-            y_pos = ymin
-        last_word = the_word
-    for todo in todo_text:
-        ax.text(*todo, fontsize=8, color=text_color)
-
-
-def _check_draw_fn(draw_fn):
-    import inspect
-
-    assert callable(draw_fn), "given 'draw_fn' is not callable"
-    params = [k for k in inspect.signature(draw_fn).parameters]
-    assert params == ["self", "ax", "cax"], (
-        f"draw_fn must take (self, ax, cax), got {params}")
-
-
-def draw_fn_aligned_audio_transcription(self: plot_item, ax, cax):
-    """1-D signal + word-aligned transcription strip: one dash-dot marker
-    per word onset, staggered '(i) word' text (easy_plot.py:420-456)."""
-    import matplotlib.lines as mlines
-
-    assert self.item.ndim == 1, (
-        f"given item should be 1dim signal, not {self.item.ndim}")
-    sr = self.get("sample_rate", self.get("sr"))
-    aligned = self.get("aligned_transcription")
-    assert sr and aligned is not None
-    # duck typing on purpose — anything with .transcript and .words works
-    title = (aligned.transcript if len(self.title) == 0
-             else f"{self.title}: {aligned.transcript}")
-    ax.set_title(title)
-    ax.set_xlim(0, len(self.item))
-    ax.set_ylim(self.vmin, self.vmax)
-    ax.plot(np.arange(0, len(self.item)), self.item)
-    yrange = self.vmax - self.vmin
-    height_percent = 0.15
-    ymin = self.vmin + height_percent * yrange / 10
-    ymax = self.vmax - height_percent * yrange / 5
-    y_pos = ymin
-    for i, the_word in enumerate(aligned.words):
-        word = f"({i}) {the_word.word}"
-        start = int(the_word.start * sr)
-        ax.add_line(mlines.Line2D([start, start], [self.vmin, self.vmax],
-                                  linewidth=1, linestyle="-.", c="g"))
-        ax.text(start, y_pos, str(word))
-        y_pos += height_percent * yrange
-        if y_pos > ymax:
-            y_pos = ymin
-    cax.axis("off")
-
-
-def draw_fn_rectangles(self: plot_item, ax, cax):
-    """Labeled bar chart with value annotations (easy_plot.py:459-477)."""
-    from matplotlib.patches import Rectangle
-
-    labels = self.get("labels")
-    assert self.item.ndim == 1 and labels is not None
-    assert len(labels) == len(self.item)
-    ax.set_title(self.title)
-    ax.set_ylim((self.vmin, self.vmax))
-    ax.set_xlim((-0.5, len(labels) - 0.5))
-    ax.set_xticks(list(range(len(labels))))
-    ax.set_xticklabels(labels)
-    for i, val in enumerate(self.item):
-        ax.add_patch(Rectangle((-0.4 + i, self.vmin), 0.8, val - self.vmin))
-        ax.text(-0.3 + i, self.vmin, f"{val:.2f}", fontsize=8)
-    cax.axis("off")
+        for a in (ax, cax):
+            a.tick_params(labelsize=_LABEL_SIZE)
+        fn = self["draw_fn"] or _RENDERERS[self["kind"]]
+        fn(self, ax, cax)
 
 
 # ---------------------------------------------------------------------------
-# grid layout (easy_plot.py:192-274 + 357-417)
+# renderers
+
+
+def _no_bar(cax):
+    cax.axis("off")
+
+
+def _staggered_marks(ax, positions, texts, lo, hi, *, color, style,
+                     text_color=None, fontsize=None, levels=6):
+    """Vertical marker lines with labels cycling over a ladder of y
+    positions so adjacent labels don't overlap. Shared by the index-label
+    and transcription renderers."""
+    import matplotlib.lines as mlines
+
+    span = hi - lo
+    ladder = itertools.cycle(lo + span * (0.02 + 0.13 * np.arange(levels)))
+    for x, txt in zip(positions, texts):
+        ax.add_line(mlines.Line2D([x, x], [lo, hi], linewidth=1,
+                                  linestyle=style, c=color, alpha=0.6))
+        ax.text(x, next(ladder), txt, fontsize=fontsize or 8,
+                color=text_color or "black")
+
+
+@renderer("xy")
+def _render_xy(cell, ax, cax):
+    xs, ys = cell["item"]
+    ax.set_title(cell["title"])
+    ax.set_xlim(0, cell["x_length"])
+    ax.set_ylim(cell["vmin"], cell["vmax"])
+    ax.plot(xs, ys)
+    _no_bar(cax)
+
+
+@renderer("curve")
+def _render_curve(cell, ax, cax):
+    y = cell["item"]
+    ax.set_title(cell["title"])
+    ax.set_xlim(0, len(y))
+    if cell["vmin"] != cell["vmax"]:
+        ax.set_ylim(cell["vmin"], cell["vmax"])
+    ax.plot(np.arange(len(y)), y)
+    _no_bar(cax)
+
+
+@renderer("heat")
+def _render_heat(cell, ax, cax):
+    ax.set_title(cell["title"])
+    mesh = ax.imshow(cell["item"], vmin=cell["vmin"], vmax=cell["vmax"],
+                     cmap=cell["cmap"], aspect="auto", origin="lower")
+    ax.figure.colorbar(mesh, cax=cax)
+    labels = cell.get("index_labels")
+    if labels is not None:
+        n = cell["x_length"]
+        assert len(labels) == n, (
+            f"data length is {n}, but {len(labels)} labels.")
+        if cell.get("each_index"):
+            keep = range(len(labels))
+        else:  # mark only label *changes* (run starts)
+            keep = [i for i, lab in enumerate(labels)
+                    if i == 0 or lab != labels[i - 1] or not str(lab)]
+        _staggered_marks(
+            ax, list(keep), [str(labels[i]) for i in keep],
+            0, cell["item"].shape[0],
+            color=cell.get("line_color", "black"), style="-",
+            text_color=cell.get("text_color", "white"))
+
+
+@renderer("rgb")
+def _render_rgb(cell, ax, cax):
+    ax.set_title(cell["title"])
+    ax.imshow(cell["item"])
+    ax.axis("off")
+    _no_bar(cax)
+
+
+@renderer("aligned")
+def _render_aligned(cell, ax, cax):
+    """1-d signal with a word-aligned transcription strip: one dash-dot
+    marker per word onset, '(i) word' labels on a staggered ladder."""
+    sig = cell["item"]
+    sr = cell.get("sample_rate") or cell.get("sr")
+    tr = cell["aligned_transcription"]
+    # duck typing on purpose — anything with .transcript and .words works
+    title = (tr.transcript if not cell["title"]
+             else f"{cell['title']}: {tr.transcript}")
+    ax.set_title(title)
+    ax.set_xlim(0, len(sig))
+    ax.set_ylim(cell["vmin"], cell["vmax"])
+    ax.plot(np.arange(len(sig)), sig)
+    _staggered_marks(
+        ax, [w.start * sr for w in tr.words],
+        [f"({i}) {w.word}" for i, w in enumerate(tr.words)],
+        cell["vmin"], cell["vmax"], color="g", style="-.",
+        fontsize=DEFAULT_FONT_SIZE * 0.8)
+    _no_bar(cax)
+
+
+@renderer("bars")
+def _render_bars(cell, ax, cax):
+    vals = cell["item"]
+    labels = cell["labels"]
+    assert len(labels) == len(vals)
+    ax.set_title(cell["title"])
+    ax.set_ylim(cell["vmin"], cell["vmax"])
+    ax.bar(np.arange(len(vals)), vals - cell["vmin"], width=0.8,
+           bottom=cell["vmin"])
+    ax.set_xticks(np.arange(len(vals)), labels=list(labels))
+    for i, v in enumerate(vals):
+        ax.annotate(f"{v:.2f}", (i - 0.3, cell["vmin"]), fontsize=8)
+    _no_bar(cax)
+
+
+# ---------------------------------------------------------------------------
+# grid
 
 
 class _GridLayout:
-    """Rows of plot_items (a bare item is a 1-cell row); tracks max extents
-    and unifies value ranges across cells."""
+    """Rows of plot_items (a bare item is a 1-cell row); tracks the grid's
+    max data extents and unifies value ranges across cells."""
 
     def __init__(self, items: Sequence):
         rows = [list(r) if isinstance(r, (list, tuple)) else [r]
@@ -291,23 +290,23 @@ class _GridLayout:
             for it in row:
                 assert type(it) is plot_item, (
                     f"given item {type(it)} is not 'plot_item'")
-        cols = max(len(r) for r in rows)
-        self._grid = [row + [None] * (cols - len(row)) for row in rows]
-        self.max_xlen = max(it.x_length for r in self._grid for it in r if it)
-        self.max_ylen = max(it.y_length for r in self._grid for it in r if it)
+        width = max(map(len, rows))
+        self._grid = [row + [None] * (width - len(row)) for row in rows]
+        self.max_xlen = max(it["x_length"] for it in self.items())
+        self.max_ylen = max(it["y_length"] for it in self.items())
 
     def set_value_range(self, vmin, vmax, mode: str):
         assert mode in ("auto", "same")
-        lo, hi = float("inf"), float("-inf")
         for it in self.items():
             if vmin is not None:
-                it.vmin = vmin
+                it["vmin"] = vmin
             if vmax is not None:
-                it.vmax = vmax
-            lo, hi = min(lo, it.vmin), max(hi, it.vmax)
+                it["vmax"] = vmax
         if mode == "same":
+            lo = min(it["vmin"] for it in self.items())
+            hi = max(it["vmax"] for it in self.items())
             for it in self.items():
-                it.vmin, it.vmax = lo, hi
+                it["vmin"], it["vmax"] = lo, hi
 
     def items(self):
         return (it for row in self._grid for it in row if it is not None)
@@ -324,51 +323,37 @@ class _GridLayout:
         return self._grid[r][c]
 
 
-def _allocate_figure(num_rows, num_cols, title_lines, x_length, y_length,
-                     scaling, aspect):
-    """Manual axes placement: per cell an image axes + a thin colorbar axes
-    to its right, margins/gaps in inches (easy_plot.py:357-417)."""
-    plt = _plt()
-    img_h = 2.5
-    if isinstance(aspect, str):
-        assert aspect in ("auto", "wide"), (
-            f"[plot]: 'aspect' should be 'auto' or 'wide' not {aspect}")
-        img_w = (max(img_h, min(img_h * 4, x_length * img_h / y_length))
-                 if aspect == "auto" else img_h * (16.0 / 9.0))
-    else:
-        img_w = img_h * float(aspect)
-    scaling = scaling or 1
-    img_h *= scaling
-    img_w *= scaling
-    mar_h, mar_w = 0.2 * scaling, 0.5 * scaling
-    gap_h, gap_w = 0.35 * scaling, 0.8 * scaling
-    gap_b = 0.1 * scaling
-    bar_w = 0.1 * scaling
-    th = _get_title_height()
-    th_acc_from_btm = [0.0]
-    for i in range(len(title_lines) - 1, 0, -1):
-        th_acc_from_btm.append(th_acc_from_btm[-1] + title_lines[i] * th)
-    fig_h = (img_h * num_rows + gap_h * num_rows + mar_h * 2
-             + th * sum(title_lines))
-    fig_w = (img_w * num_cols + gap_w * (num_cols - 1) + mar_w * 2
-             + bar_w * num_cols + gap_b * num_cols)
-    img_hr, img_wr = img_h / fig_h, img_w / fig_w
-    bar_hr, bar_wr = img_h / fig_h, bar_w / fig_w
-    bar_sr = (img_w + gap_b) / fig_w
+def _cell_width(aspect, x_length, y_length) -> float:
+    """Cell width in inches from the aspect policy: "auto" follows the
+    data aspect clamped to [1, 4]× the height; "wide" is 16:9; a number
+    is an explicit width/height ratio."""
+    if aspect == "auto":
+        ratio = x_length / max(y_length, 1)
+        return _CELL_H * min(4.0, max(1.0, ratio))
+    if aspect == "wide":
+        return _CELL_H * 16.0 / 9.0
+    return _CELL_H * float(aspect)
+
+
+def _make_grid_axes(plt, n_rows, n_cols, cell_w, extra_title_rows, scaling):
+    """One GridSpec with alternating cell/colorbar columns; returns the
+    figure and [(ax, cax)] per grid position."""
+    from matplotlib.gridspec import GridSpec
+
+    cell_h = _CELL_H * scaling
+    cell_w = cell_w * scaling
+    bar_w = cell_w * _BAR_FRAC
+    fig_w = n_cols * (cell_w + bar_w) * 1.25 + 0.6
+    fig_h = n_rows * cell_h * (1.35 + 0.12 * extra_title_rows) + 0.5
     fig = plt.figure(figsize=(fig_w, fig_h))
-
-    def bttm_ratio(row):
-        row = num_rows - row - 1
-        h = mar_h + gap_h + (img_h + gap_h) * row + th_acc_from_btm[row]
-        return h / fig_h
-
-    def left_ratio(col):
-        return (mar_w + (img_w + gap_b + bar_w + gap_w) * col) / fig_w
-
-    axes = [[(plt.axes([left_ratio(c), bttm_ratio(r), img_wr, img_hr]),
-              plt.axes([left_ratio(c) + bar_sr, bttm_ratio(r), bar_wr,
-                        bar_hr]))
-             for c in range(num_cols)] for r in range(num_rows)]
+    gs = GridSpec(
+        n_rows, 2 * n_cols, figure=fig,
+        width_ratios=[cell_w, bar_w] * n_cols,
+        wspace=0.15, hspace=0.55 + 0.2 * extra_title_rows,
+        left=0.45 / fig_w, right=1 - 0.45 / fig_w,
+        top=1 - 0.45 / fig_h, bottom=0.35 / fig_h)
+    axes = [[(fig.add_subplot(gs[r, 2 * c]), fig.add_subplot(gs[r, 2 * c + 1]))
+             for c in range(n_cols)] for r in range(n_rows)]
     return fig, axes
 
 
@@ -378,20 +363,18 @@ def _allocate_figure(num_rows, num_cols, title_lines, x_length, y_length,
 
 def color_mapping(values, vmin=None, vmax=None, cmap: str = DEFAULT_CMAP,
                   flip_rows: bool = False) -> np.ndarray:
-    """(H, W) floats → (H, W, 3) uint8 via a matplotlib colormap
-    (easy_plot.py:277-289; we drop the alpha channel — every consumer
-    here feeds RGB image sinks)."""
-    plt = _plt()
+    """(H, W) floats → (H, W, 3) uint8 through a matplotlib colormap (the
+    alpha channel is dropped — every consumer here feeds RGB image sinks)."""
+    import matplotlib as mpl
+
     values = np.asarray(values, np.float64)
     assert values.ndim == 2, "color_mapping() only works for 2d arrays"
-    vmin = values.min() if vmin is None else vmin
-    vmax = values.max() if vmax is None else vmax
-    norm = np.clip((values - vmin) / (vmax - vmin + 1e-10), 0, 1)
-    rgba = plt.get_cmap(cmap)(norm)
-    img = (rgba[..., :3] * 255).astype(np.uint8)
-    if flip_rows:
-        img = np.flip(img, axis=0)
-    return img
+    norm = mpl.colors.Normalize(
+        vmin=values.min() if vmin is None else vmin,
+        vmax=values.max() if vmax is None else vmax, clip=True)
+    rgba = mpl.colormaps[cmap](norm(values))
+    img = (rgba[..., :3] * 255.0 + 0.5).astype(np.uint8)
+    return img[::-1] if flip_rows else img
 
 
 def figure_to_numpy(fig) -> np.ndarray:
@@ -402,15 +385,15 @@ def figure_to_numpy(fig) -> np.ndarray:
 
 def draw_figure(fig, file_path: Optional[str] = None) -> Optional[np.ndarray]:
     """Save to png (dirs auto-created, extension coerced) and/or convert to
-    numpy (easy_plot.py:300-317; the interactive show/onclick branch is
-    dropped — this framework only renders headless)."""
+    numpy. The reference's interactive show/onclick branch is dropped —
+    this framework only renders headless."""
     plt = _plt()
     if file_path is not None:
-        dirname = os.path.dirname(file_path)
-        if dirname:
-            os.makedirs(dirname, exist_ok=True)
-        if os.path.splitext(file_path)[1] != ".png":
+        if not file_path.endswith(".png"):
             file_path += ".png"
+        parent = os.path.dirname(file_path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         fig.savefig(file_path, format="png")
     data = figure_to_numpy(fig)
     plt.close(fig)
@@ -421,37 +404,9 @@ def _coerce_item(item) -> plot_item:
     if type(item) is plot_item:
         return item
     if isinstance(item, dict):
-        d = dict(item)
-        return plot_item(d.pop("data"), **d)
+        spec = dict(item)
+        return plot_item(spec.pop("data"), **spec)
     return plot_item(item)
-
-
-def plot(*items, file_path=None, val_mode="auto", aspect="wide",
-         suptitle="", vmin=None, vmax=None, fig_scaling=1) -> np.ndarray:
-    """Grid plot (easy_plot.py:320-354): each positional arg is a row (a
-    list/tuple) or a single cell; cells are plot_items (bare arrays and
-    {'data': ...} dicts are coerced). Returns the figure as uint8 RGB."""
-    plt = _plt()
-    rows = [([_coerce_item(c) for c in r] if isinstance(r, (list, tuple))
-             and not _is_xy_pair(r) else _coerce_item(r)) for r in items]
-    grid = _GridLayout(rows)
-    grid.set_value_range(vmin, vmax, mode=val_mode)
-    title_lines = [max(grid(r, c).title_lines if grid(r, c) else 0
-                       for c in range(grid.cols)) for r in range(grid.rows)]
-    fig, axes = _allocate_figure(
-        num_rows=grid.rows, num_cols=grid.cols, title_lines=title_lines,
-        x_length=grid.max_xlen, y_length=grid.max_ylen, scaling=fig_scaling,
-        aspect=aspect)
-    for r in range(grid.rows):
-        for c in range(grid.cols):
-            ax, cax = axes[r][c]
-            if grid(r, c) is None:
-                ax.axis("off")
-                cax.axis("off")
-            else:
-                grid(r, c).draw(ax, cax)
-    plt.suptitle(suptitle)
-    return draw_figure(fig, file_path=file_path)
 
 
 def _is_xy_pair(r) -> bool:
@@ -460,10 +415,41 @@ def _is_xy_pair(r) -> bool:
         isinstance(x, np.ndarray) and x.ndim == 1 for x in r))
 
 
+def plot(*items, file_path=None, val_mode="auto", aspect="wide",
+         suptitle="", vmin=None, vmax=None, fig_scaling=1) -> np.ndarray:
+    """Grid plot: each positional arg is a row (list/tuple) or a single
+    cell; cells are plot_items (bare arrays and {'data': ...} dicts are
+    coerced). Returns the rendered figure as uint8 RGB."""
+    assert aspect in ("auto", "wide") or not isinstance(aspect, str), (
+        f"[plot]: 'aspect' should be 'auto' or 'wide' not {aspect}")
+    plt = _plt()
+    rows = [([_coerce_item(c) for c in r] if isinstance(r, (list, tuple))
+             and not _is_xy_pair(r) else _coerce_item(r)) for r in items]
+    grid = _GridLayout(rows)
+    grid.set_value_range(vmin, vmax, mode=val_mode)
+    extra_title_rows = max(
+        (it["title_lines"] - 1 for it in grid.items()), default=0)
+    fig, axes = _make_grid_axes(
+        plt, grid.rows, grid.cols,
+        _cell_width(aspect, grid.max_xlen, grid.max_ylen),
+        extra_title_rows, fig_scaling or 1)
+    for r in range(grid.rows):
+        for c in range(grid.cols):
+            ax, cax = axes[r][c]
+            cell = grid(r, c)
+            if cell is None:
+                ax.axis("off")
+                cax.axis("off")
+            else:
+                cell.draw(ax, cax)
+    if suptitle:
+        fig.suptitle(suptitle)
+    return draw_figure(fig, file_path=file_path)
+
+
 def plot_grid(items: List, cols: Optional[int] = None,
               **kwargs) -> np.ndarray:
-    """Flat list of arrays/dicts → one grid image, auto-square by default
-    (the pre-round-4 surface; kept for the TB plugins and tests)."""
+    """Flat list of arrays/dicts → one grid image, auto-square by default."""
     n = len(items)
     cols = cols or int(math.ceil(math.sqrt(n)))
     rows = [[_coerce_item(it) for it in items[i:i + cols]]
