@@ -125,14 +125,35 @@ def _train_throughput(root: str) -> dict:
     env = StepEnv(root, log_dir="/tmp/bench_train_bench")
     env.sync(env.step())  # warmup/compile
     n = int(os.environ.get("BENCH_TRAIN_ITERS", 10))
-    dt_dev = env.timed_median_s(n, upload=False)
-    dt_up = env.timed_median_s(n, upload=True)
-    return {
+    # steady-state = the Trainer's real loop shape (sync every ~50 steps,
+    # upload double-buffered behind the previous step's dispatch);
+    # "synced" = one dispatch round-trip per step, the tunnel-pessimal
+    # pattern the r4 numbers reported
+    dt_dev = env.timed_steady_s(n, upload=False)
+    dt_up = env.timed_steady_s(n, upload=True)
+    dt_synced = env.timed_median_s(n, upload=False)
+    out = {
         "train_step_ms_device": round(dt_dev * 1e3, 1),
         "train_step_ms_incl_upload": round(dt_up * 1e3, 1),
+        "train_step_ms_synced_per_step": round(dt_synced * 1e3, 1),
         "train_windows_per_s_device": round(env.n_windows / dt_dev, 1),
+        "train_windows_per_s_incl_upload": round(env.n_windows / dt_up, 1),
         "train_batch_windows": env.n_windows,
     }
+    try:  # train-step roofline (never sink the bench on an intro failure)
+        costs = env.cost_stats()
+        tflops = costs["flops"] / dt_dev / 1e12
+        out.update({
+            "train_gflops_per_step": round(costs["flops"] / 1e9, 2),
+            "train_mfu_pct": round(100.0 * tflops / 197.0, 2),  # v5e bf16
+            "train_hbm_gb_per_step": round(costs["bytes"] / 1e9, 2),
+            "train_hbm_util_pct": round(
+                100.0 * costs["bytes"] / 1e9 / dt_dev / 819.0, 1),
+        })
+    except Exception as e:
+        print(f"[bench] train cost accounting skipped: {type(e).__name__}",
+              file=sys.stderr, flush=True)
+    return out
 
 
 def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
@@ -246,6 +267,27 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     t0 = time.perf_counter()
     _ = task.generate_vertices(signal, 0, wire="i16")
     fused_i16_s = time.perf_counter() - t0
+    # coef wire: download (W, 265) coefficients (~56x fewer bytes than
+    # i16) + host CoefDecoder reconstruction (f64 solve oracle) — the
+    # latency-oriented single-clip path (VERDICT r4 #5)
+    fused_coef_s = None
+    try:
+        _ = task.generate_vertices(signal, 0, wire="coef")  # compile+LU
+        t0 = time.perf_counter()
+        _ = task.generate_vertices(signal, 0, wire="coef")
+        fused_coef_s = time.perf_counter() - t0
+    except Exception as e:
+        print(f"[bench] coef single-clip skipped: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+    # first-frame story on a WARM process (serve.py warm_start does this
+    # before accepting connections): warmup pre-pays compile + constants,
+    # then the first real clip serves at warm latency
+    task2 = AnimationTask(hp, model, variables)
+    warmup_s = task2.warmup(seconds=min(seconds, 3.0), wire="i16")
+    t0 = time.perf_counter()
+    _ = task2.generate_vertices(signal, 0, wire="i16")
+    first_after_warmup_s = time.perf_counter() - t0
+    task2 = None
     solver = frame_mod.get_solver()  # reuses the already-built template
     idx = np.linspace(0, len(animes) - 1, 8).astype(int)
     dg = np.asarray(animes[idx], np.float32).reshape(len(idx), -1, 9)
@@ -273,7 +315,12 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
         # tunnel RTT + vertex download (warm = compiled); informational
         "serving_clip_x_realtime": round(len(signal) / sr / fused_warm_s, 2),
         "serving_clip_x_realtime_i16": round(len(signal) / sr / fused_i16_s, 2),
+        **({"serving_clip_x_realtime_coef":
+            round(len(signal) / sr / fused_coef_s, 2)}
+           if fused_coef_s else {}),
         "serving_first_call_s": round(fused_cold_s, 2),
+        "serving_warmup_s": round(warmup_s, 2),
+        "serving_first_frame_after_warmup_s": round(first_after_warmup_s, 3),
         "train_steps": steps,
         "frames_checked": int(len(idx)),
     }

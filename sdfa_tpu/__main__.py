@@ -138,14 +138,23 @@ def main():
         synthetic.generate(root, face_type=args.face_type)
         print(f"synthetic dataset written to {root}")
     elif args.mode == "serve":
-        from .api import load_task
+        from .api import load_task, load_traced
         from .serve import serve
 
-        if not args.load_from:
-            parser.error("serve requires --load_from <checkpoint>")
-        task = load_task(args.load_from, custom_hparams=args.custom_hparams,
-                         dataset_root=args.dataset_root, overrides=overrides,
-                         device_frontend=True, overlap_frontend=True)
+        if args.traced_dump_path:
+            # warm start from a trace_model dump (api.load_traced):
+            # hparams + weights are self-contained, no checkpoint needed
+            task = load_traced(args.traced_dump_path, device_frontend=True,
+                               overlap_frontend=True)
+        elif args.load_from:
+            task = load_task(args.load_from,
+                             custom_hparams=args.custom_hparams,
+                             dataset_root=args.dataset_root,
+                             overrides=overrides,
+                             device_frontend=True, overlap_frontend=True)
+        else:
+            parser.error("serve requires --load_from <checkpoint> or "
+                         "--traced_dump_path <trace_model dir>")
         serve(task, host=args.host, port=args.port, capacity=args.capacity,
               emit_batch=args.emit_batch, block_frames=args.block_frames,
               wire=args.device_wire, pipeline=not args.no_pipeline)

@@ -109,11 +109,31 @@ class ServeApp:
 
     def __init__(self, task, capacity: int = 8, emit_batch: int = 16,
                  block_frames: int = 16, wire: str = "i16",
-                 pipeline: bool = True, idle_sleep: float = 0.005):
+                 pipeline: bool = True, idle_sleep: float = 0.005,
+                 warm_start: bool = True):
         self.srv = StreamingServer(task, capacity=capacity,
                                    emit_batch=emit_batch,
                                    block_frames=block_frames, wire=wire,
                                    pipeline=pipeline)
+        if warm_start:
+            # pre-pay every first-call cost (jit compiles / persistent-
+            # cache hits, solve-constants upload) BEFORE accepting
+            # connections: run one short synthetic utterance through the
+            # real pool so the first client's first frame serves at warm
+            # latency (VERDICT r4 #5)
+            import time
+
+            t0 = time.time()
+            sid = self.srv.open(0)
+            sr = int(task.hp.audio.sample_rate)
+            self.srv.push(sid, np.zeros(int(0.8 * sr), np.float32))
+            self.srv.flush(sid)
+            for _ in range(128):
+                self.srv.tick()
+                if self.srv.is_done(sid):
+                    break
+            self.srv.close(sid)
+            log.info(f"serving path warmed in {time.time() - t0:.1f}s")
         # announced in every open-ok reply: under the coefficient wires
         # frame payloads are (K,) PCA coefficients the client decodes
         # locally (streaming.CoefDecoder), not (V, 3) meshes — plus the

@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 import os
 import re
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -308,13 +309,24 @@ class AnimationTask:
         of link-bound serving (DESIGN.md §12.3); error ≤ 5e-6 m. Returned
         dtype is float32 metres either way.
 
+        ``wire="coef"`` downloads only the (W, 265) PCA coefficients (~56×
+        fewer bytes than i16) and reconstructs meshes on the host with
+        ``streaming.CoefDecoder`` — the float64 solve oracle, so accuracy
+        BEATS the device f32 path while the transfer that dominates warm
+        single-clip latency nearly vanishes (DESIGN.md §12.9; dgrad PCA
+        models only).
+
         Falls back to generate_animation + frames_to_meshes when the
         overlap frontend is off or ensembling is requested (both paths are
         asserted equal in tests/test_task.py)."""
         from .viewer import frame as frame_mod
 
-        if wire not in ("f32", "i16"):
+        if wire not in ("f32", "i16", "coef"):
             raise ValueError(f"unknown wire format {wire!r}")
+        if wire == "coef" and not (
+                self.hp.model.face_data_type == "dgrad_3d"
+                and self.model.using_pca):
+            raise ValueError("wire='coef' needs dgrad_3d PCA heads")
         face_type = self.hp.model.face_data_type
         if ensembling_ms is None:
             ensembling_ms = self.hp.get("ensembling_ms", 0)
@@ -339,8 +351,34 @@ class AnimationTask:
             if wire == "i16":
                 host = host.astype(np.float32) * WIRE_LSB
             chunks.append(host)
+        if wire == "coef":
+            coefs = np.concatenate(chunks)  # (W, K) — tiny download
+            verts = self._coef_decoder().decode(coefs)
+            return ts_list, verts
         verts = np.concatenate(chunks).reshape(len(frame_idx), -1, 3)
         return ts_list, verts
+
+    def _coef_decoder(self):
+        """Cached client-side CoefDecoder (the coef wire's host half)."""
+        if getattr(self, "_coef_dec", None) is None:
+            from .streaming import CoefDecoder
+
+            self._coef_dec = CoefDecoder(self)
+        return self._coef_dec
+
+    def warmup(self, seconds: float = 3.0, wire: str = "f32",
+               speaker=0) -> float:
+        """Pre-pay the serving path's one-time costs — jit compiles (or
+        persistent-cache hits), the deformation-solve constants build +
+        upload, and the host solver factorization for coef wires — so the
+        first REAL call serves at warm latency (VERDICT r4 #5). Returns
+        the wall seconds spent. Safe to call more than once."""
+        t0 = time.time()
+        sr = int(self.hp.audio.sample_rate)
+        tt = np.arange(int(seconds * sr), dtype=np.float32) / sr
+        sig = (0.1 * np.sin(2 * np.pi * 150.0 * tt)).astype(np.float32)
+        self.generate_vertices(sig, speaker, wire=wire)
+        return time.time() - t0
 
     def _get_verts_fn(self, wire: str = "f32"):
         """(jitted fn, consts) for the fused windows→vertices device path:

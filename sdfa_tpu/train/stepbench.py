@@ -56,19 +56,21 @@ class StepEnv:
         _ = np.asarray(jnp.ravel(
             jax.tree_util.tree_leaves(self.state.params)[0])[:1])
 
-    def step(self, step_index: int = 0):
-        """One train step on the held batch; returns the metrics dict
-        (still on device)."""
+    def step(self, step_index: int = 0, batch=None):
+        """One train step on the held batch (or a given device batch);
+        returns the metrics dict (still on device)."""
         import jax
 
         rng = jax.random.fold_in(self.exp.rng_base, step_index)
         self.state, metrics = self.exp.train_step_fn(
-            self.state, self.batch, rng, self.lr, self.b1)
+            self.state, batch if batch is not None else self.batch,
+            rng, self.lr, self.b1)
         return metrics
 
     def timed_median_s(self, n: int, upload: bool = False) -> float:
-        """Median wall seconds/step over n steps (call .step()/.sync()
-        once first to absorb the compile)."""
+        """Median wall seconds/step over n steps, SYNCED every step (call
+        .step()/.sync() once first to absorb the compile). Includes one
+        dispatch round-trip per step — the tunnel-pessimal pattern."""
         import jax
 
         ts = []
@@ -80,3 +82,39 @@ class StepEnv:
             self.sync(metrics)
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[len(ts) // 2]
+
+    def timed_steady_s(self, n: int, upload: bool = False) -> float:
+        """Steady-state wall seconds/step over n back-to-back steps with
+        ONE sync at the end — the Trainer's actual loop shape (it syncs
+        every ~50 steps, not every step). ``upload=True`` double-buffers
+        the host→device batch transfer exactly like
+        Trainer._fetch_put: batch k+1's device_put is dispatched behind
+        step k's async dispatch, so the copy rides under device compute
+        (VERDICT r4 #4)."""
+        metrics = None
+        nxt = self.exp.put_batch(self.batch_host) if upload else self.batch
+        t0 = time.perf_counter()
+        for i in range(n):
+            cur = nxt
+            metrics = self.step(i, batch=cur)
+            if upload:
+                nxt = self.exp.put_batch(self.batch_host)
+        self.sync(metrics)
+        return (time.perf_counter() - t0) / n
+
+    def cost_stats(self) -> dict:
+        """XLA flops/bytes estimates for ONE compiled train step on the
+        held shapes (the serving bench's roofline accounting, applied to
+        training — VERDICT r4 #4 'nobody can say its MFU')."""
+        import jax
+
+        lowered = self.exp.train_step_fn.lower(
+            self.state, self.batch, jax.random.PRNGKey(0), self.lr, self.b1)
+        costs = lowered.compile().cost_analysis()
+        if isinstance(costs, (list, tuple)):
+            costs = costs[0]
+        costs = dict(costs or {})
+        return {
+            "flops": float(costs.get("flops", 0.0)),
+            "bytes": float(costs.get("bytes accessed", 0.0)),
+        }

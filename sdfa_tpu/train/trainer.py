@@ -642,12 +642,27 @@ class Trainer:
             return True
         return value > self.best_metric if self.metric_larger else value < self.best_metric
 
+    def _fetch_put(self, loader_it):
+        """Next batch, host→device upload DISPATCHED (device_put is async:
+        the copy overlaps the already-running step's device compute —
+        double-buffered upload, VERDICT r4 #4). Returns (device_batch,
+        host_extra) or None at end of epoch."""
+        batch = next(loader_it, None)
+        if batch is None:
+            return None
+        # TB-only payloads (audio clips) never ride the device upload
+        host_extra = {k: batch.pop(k) for k in ("signal",) if k in batch}
+        return self.exp.put_batch(batch), host_extra
+
     def _train_epoch(self) -> Dict[str, float]:
         exp = self.exp
         device_metrics = []  # stays on device; fetched once at epoch end
         count = 0
         self._run_hooks("prev_train", epoch=exp.epoch)
-        for batch in self.train_loader:
+        loader_it = iter(self.train_loader)
+        pending = self._fetch_put(loader_it)
+        while pending is not None:
+            batch, host_extra = pending
             if (self.profile_dir and not self._prof_active
                     and self._steps_seen == self.profile_start):
                 from .. import profiling
@@ -656,13 +671,14 @@ class Trainer:
                 self._prof_active = True
             lr, b1 = exp.current_lr(self._host_step)
             step_rng = jax.random.fold_in(exp.rng_base, self._host_step)
-            # TB-only payloads (audio clips) never ride the device upload
-            host_extra = {k: batch.pop(k) for k in ("signal",) if k in batch}
-            batch = exp.put_batch(batch)
             exp.state, metrics = exp.train_step_fn(
                 exp.state, batch, step_rng, jnp.asarray(lr), jnp.asarray(b1)
             )
             self._host_step += 1
+            # enqueue batch k+1's upload NOW, behind step k's async
+            # dispatch: the transfer rides under the step's device time
+            # instead of serializing ahead of step k+1
+            pending = self._fetch_put(loader_it)
             device_metrics.append(metrics)
             for ai, name in enumerate(self.aux_loaders):
                 aux_batch = self._next_aux(name)

@@ -221,6 +221,25 @@ class TestGenerateVertices:
         assert verts_q.dtype == np.float32
         assert np.abs(verts_q - verts_f).max() <= WIRE_LSB / 2 + 1e-7
 
+    def test_coef_wire_matches_f32_and_warmup(self, shipped_task):
+        """generate_vertices(wire='coef') downloads only the (W, 265) PCA
+        coefficients and reconstructs on the host via CoefDecoder (the f64
+        solve oracle) — the latency-oriented single-clip path (VERDICT r4
+        #5). Must match the device f32 wire within the device solve's own
+        f32-vs-f64 budget; warmup() pre-pays the path's one-time costs."""
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 150 * t)
+               * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        ts_f, verts_f = task.generate_vertices(sig, 0)
+        ts_c, verts_c = task.generate_vertices(sig, 0, wire="coef")
+        assert ts_f == ts_c
+        assert verts_c.shape == verts_f.shape
+        assert np.abs(verts_c - verts_f).max() <= 5e-5
+        # warmup is idempotent and returns wall seconds
+        assert task.warmup(seconds=1.2, wire="coef") >= 0.0
+
     def test_chunked_decode_solve_matches_whole(self, shipped_task, monkeypatch):
         """SDFA_DECODE_CHUNK-bounded lax.map decode+solve (the long-clip
         HBM guard) == the single-batch path, exactly."""
