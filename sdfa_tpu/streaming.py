@@ -726,12 +726,17 @@ class CoefDecoder:
         self._sc_mean = np.asarray(sc["means"], np.float64)
         self._rc_basis = np.asarray(rc["compT"], np.float64).T  # (Kr, T·3)
         self._rc_mean = np.asarray(rc["means"], np.float64)
+        # f32 copies for the decode's basis matmuls (see decode())
+        self._sc_basis32 = np.ascontiguousarray(self._sc_basis, np.float32)
+        self._rc_basis32 = np.ascontiguousarray(self._rc_basis, np.float32)
+        self._front = None  # lazily-jitted XLA:CPU decode front half
         self.n_scale = self._sc_basis.shape[0]
         self.n_rotat = self._rc_basis.shape[0]
         self.n_coefs = self.n_scale + self.n_rotat
 
         solver = frame_mod.get_solver()
         self._solver = solver
+        self._at32 = solver._at.astype(np.float32)  # fast-path Aᵀ
         self.n_tris = solver.n_tris
         assert self._sc_mean.shape[-1] == self.n_tris * 6, (
             self._sc_mean.shape, self.n_tris)
@@ -785,43 +790,155 @@ class CoefDecoder:
 
     @staticmethod
     def _transforms_t_fast(dgrad: np.ndarray) -> np.ndarray:
-        """``DeformationSolver._transforms_t_np`` with the Rodrigues
-        matrix written out elementwise (c + x²C … instead of building K
-        and batch-multiplying K@K) — algebraically identical, ~5× faster
-        on the client CPU where this is the decode's hot stage; equality
-        to the oracle is pinned by the coef-wire test."""
+        """``DeformationSolver._transforms_t_np`` with BOTH the Rodrigues
+        matrix and the final product written out elementwise: (R·S)ᵀ =
+        S·Rᵀ (S symmetric), so out[i][j] = Σₖ S[i][k]·R[j][k] becomes 9
+        vectorized 3-term expressions over the triangle axis — no (n,3,3)
+        batched tiny-matmul, which numpy dispatches abysmally (it was 67%
+        of the whole client decode at emit_batch=16). Algebraically
+        identical to the oracle (pinned at 1e-13 by the coef-wire test);
+        ~10× faster on the client CPU."""
         n = len(dgrad)
-        s = np.zeros((n, 3, 3))
-        s[:, 0, 0] = dgrad[:, 0] + 1.0
-        s[:, 0, 1] = s[:, 1, 0] = dgrad[:, 1]
-        s[:, 0, 2] = s[:, 2, 0] = dgrad[:, 2]
-        s[:, 1, 1] = dgrad[:, 3] + 1.0
-        s[:, 1, 2] = s[:, 2, 1] = dgrad[:, 4]
-        s[:, 2, 2] = dgrad[:, 5] + 1.0
+        # symmetric scale/shear part S (6 unique entries)
+        s00 = dgrad[:, 0] + 1.0
+        s01 = dgrad[:, 1]
+        s02 = dgrad[:, 2]
+        s11 = dgrad[:, 3] + 1.0
+        s12 = dgrad[:, 4]
+        s22 = dgrad[:, 5] + 1.0
+        # Rodrigues rotation from the log-rotation part
         w = np.stack([-dgrad[:, 8], dgrad[:, 7], -dgrad[:, 6]], axis=-1)
         angle = np.linalg.norm(w, axis=-1)
         small = angle < 1e-6  # same cutoff as the oracle: R = I
         x, y, z = (w / np.where(small, 1.0, angle)[:, None]).T
         c, si = np.cos(angle), np.sin(angle)
+        c = np.where(small, 1.0, c)
+        si = np.where(small, 0.0, si)
+        x = np.where(small, 0.0, x)
+        y = np.where(small, 0.0, y)
+        z = np.where(small, 0.0, z)
         cc = 1.0 - c
-        r = np.empty((n, 3, 3))
-        r[:, 0, 0] = c + x * x * cc
-        r[:, 0, 1] = x * y * cc - z * si
-        r[:, 0, 2] = x * z * cc + y * si
-        r[:, 1, 0] = x * y * cc + z * si
-        r[:, 1, 1] = c + y * y * cc
-        r[:, 1, 2] = y * z * cc - x * si
-        r[:, 2, 0] = x * z * cc - y * si
-        r[:, 2, 1] = y * z * cc + x * si
-        r[:, 2, 2] = c + z * z * cc
-        r[small] = np.eye(3)
-        return np.swapaxes(r @ s, -1, -2)
+        r00 = c + x * x * cc
+        r01 = x * y * cc - z * si
+        r02 = x * z * cc + y * si
+        r10 = x * y * cc + z * si
+        r11 = c + y * y * cc
+        r12 = y * z * cc - x * si
+        r20 = x * z * cc - y * si
+        r21 = y * z * cc + x * si
+        r22 = c + z * z * cc
+        # out = S · Rᵀ  ( = (R·S)ᵀ )
+        out = np.empty((n, 3, 3))
+        out[:, 0, 0] = s00 * r00 + s01 * r01 + s02 * r02
+        out[:, 0, 1] = s00 * r10 + s01 * r11 + s02 * r12
+        out[:, 0, 2] = s00 * r20 + s01 * r21 + s02 * r22
+        out[:, 1, 0] = s01 * r00 + s11 * r01 + s12 * r02
+        out[:, 1, 1] = s01 * r10 + s11 * r11 + s12 * r12
+        out[:, 1, 2] = s01 * r20 + s11 * r21 + s12 * r22
+        out[:, 2, 0] = s02 * r00 + s12 * r01 + s22 * r02
+        out[:, 2, 1] = s02 * r10 + s12 * r11 + s22 * r12
+        out[:, 2, 2] = s02 * r20 + s12 * r21 + s22 * r22
+        return out
 
-    def decode(self, coeffs: np.ndarray) -> np.ndarray:
-        """(F, K) or (K,) wire coefficients → (F, V, 3) / (V, 3) metres
-        (float64 math throughout, float32 out — the same values
-        ``DeformationSolver.solve_host`` produces from the decoded
-        deformation-gradient frames)."""
+    def _front_fn(self):
+        """Jitted XLA:CPU front half of the decode: PCA basis expansion +
+        Rodrigues reconstruction + equation gather + constraint
+        subtraction, fused into one pass (f32). numpy runs this chain at
+        ~7 ms/frame — it is pure elementwise+gather memory traffic that
+        XLA fuses into ~0.3 ms/frame on one client core. Pinned to the
+        CPU backend via committed inputs, so a TPU-attached process still
+        decodes client-side."""
+        if self._front is None:
+            import jax
+
+            cpu = jax.local_devices(backend="cpu")[0]
+
+            def put(x, dtype=np.float32):
+                return jax.device_put(jnp.asarray(np.asarray(x, dtype)), cpu)
+
+            sc_b = put(self._sc_basis32)
+            rc_b = put(self._rc_basis32)
+            sc_m = put(self._sc_mean)
+            rc_m = put(self._rc_mean)
+            eq_np = np.asarray(self._eq_idx)
+            # shipped template: 1:1 correspondence → the equation gather
+            # is an identity and XLA:CPU's (slow) gather op is skipped
+            # entirely; a custom corres fan-out keeps the general gather
+            identity_eq = bool(np.array_equal(eq_np, np.arange(len(eq_np))))
+            eq = None if identity_eq else put(eq_np.astype(np.int32),
+                                              np.int32)
+            arc = None if self._arc is None else put(self._arc)
+            n_tris = self.n_tris
+            ns = self.n_scale
+
+            def front(c):
+                scale = (jnp.matmul(c[:, :ns], sc_b) + sc_m).reshape(
+                    -1, n_tris, 6)
+                rotat = (jnp.matmul(c[:, ns:], rc_b) + rc_m).reshape(
+                    -1, n_tris, 3)
+                s00 = scale[..., 0] + 1.0
+                s01 = scale[..., 1]
+                s02 = scale[..., 2]
+                s11 = scale[..., 3] + 1.0
+                s12 = scale[..., 4]
+                s22 = scale[..., 5] + 1.0
+                wx, wy, wz = -rotat[..., 2], rotat[..., 1], -rotat[..., 0]
+                angle = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+                small = angle < 1e-6  # same cutoff as the oracle: R = I
+                inv = jnp.where(small, 0.0, 1.0 / jnp.where(small, 1.0, angle))
+                x, y, z = wx * inv, wy * inv, wz * inv
+                co = jnp.where(small, 1.0, jnp.cos(angle))
+                si = jnp.where(small, 0.0, jnp.sin(angle))
+                cc = 1.0 - co
+                r00 = co + x * x * cc
+                r01 = x * y * cc - z * si
+                r02 = x * z * cc + y * si
+                r10 = x * y * cc + z * si
+                r11 = co + y * y * cc
+                r12 = y * z * cc - x * si
+                r20 = x * z * cc - y * si
+                r21 = y * z * cc + x * si
+                r22 = co + z * z * cc
+                # Tᵀ = S·Rᵀ (S symmetric): 9 planes, stacked (F, T, 3, 3)
+                tt = jnp.stack([
+                    s00 * r00 + s01 * r01 + s02 * r02,
+                    s00 * r10 + s01 * r11 + s02 * r12,
+                    s00 * r20 + s01 * r21 + s02 * r22,
+                    s01 * r00 + s11 * r01 + s12 * r02,
+                    s01 * r10 + s11 * r11 + s12 * r12,
+                    s01 * r20 + s11 * r21 + s12 * r22,
+                    s02 * r00 + s12 * r01 + s22 * r02,
+                    s02 * r10 + s12 * r11 + s22 * r12,
+                    s02 * r20 + s12 * r21 + s22 * r22,
+                ], axis=-1).reshape(-1, n_tris, 3, 3)
+                if eq is None:  # identity correspondence (shipped template)
+                    d = tt.reshape(tt.shape[0], -1, 3)
+                else:
+                    ttx = jnp.concatenate(
+                        [tt, jnp.broadcast_to(jnp.eye(3, dtype=tt.dtype),
+                                              (tt.shape[0], 1, 3, 3))],
+                        axis=1)
+                    d = ttx[:, eq].reshape(tt.shape[0], -1, 3)
+                if arc is not None:
+                    d = d - arc
+                # emit the back-substitution's RHS layout directly:
+                # (3·n_eqs, F·3) — the strided numpy transpose this saves
+                # costs more than the whole sparse product
+                return jnp.transpose(d, (1, 0, 2)).reshape(d.shape[1], -1)
+
+            self._front = jax.jit(front)
+            self._cpu_dev = cpu
+        return self._front
+
+    def decode(self, coeffs: np.ndarray, precise: bool = False) -> np.ndarray:
+        """(F, K) or (K,) wire coefficients → (F, V, 3) / (V, 3) metres.
+
+        Default: the fused XLA:CPU front half (f32) + the float64 SuperLU
+        back-substitution — residual vs the all-f64 path ~1e-7 m at the
+        vertices, 50× under the i16 wire's quantization step, at ~0.7
+        ms/frame on one client core. ``precise=True`` runs the original
+        all-float64 numpy path (the exact ``DeformationSolver.solve_host``
+        oracle values) at ~7 ms/frame — the parity tests' reference."""
         c = np.asarray(coeffs, np.float64)
         single = c.ndim == 1
         if single:
@@ -829,17 +946,27 @@ class CoefDecoder:
         assert c.shape[-1] == self.n_coefs, (c.shape, self.n_coefs)
         fr = len(c)
         sol = self._solver
-        scale = c[:, : self.n_scale] @ self._sc_basis + self._sc_mean
-        rotat = c[:, self.n_scale :] @ self._rc_basis + self._rc_mean
-        flat = np.concatenate([scale, rotat], axis=-1)[:, self._perm]
-        tt = self._transforms_t_fast(flat.reshape(-1, 9)).reshape(
-            fr, self.n_tris, 3, 3)
-        ttx = np.concatenate(
-            [tt, np.broadcast_to(np.eye(3), (fr, 1, 3, 3))], axis=1)
-        d = ttx[:, self._eq_idx].reshape(fr, -1, 3)  # (F, 3·n_eqs, 3)
-        if self._arc is not None:
-            d = d - self._arc
-        rhs = sol._at @ d.transpose(1, 0, 2).reshape(-1, fr * 3)
+        if precise:
+            scale = c[:, : self.n_scale] @ self._sc_basis + self._sc_mean
+            rotat = c[:, self.n_scale :] @ self._rc_basis + self._rc_mean
+            flat = np.concatenate([scale, rotat], axis=-1)[:, self._perm]
+            tt = self._transforms_t_fast(flat.reshape(-1, 9)).reshape(
+                fr, self.n_tris, 3, 3)
+            ttx = np.concatenate(
+                [tt, np.broadcast_to(np.eye(3), (fr, 1, 3, 3))], axis=1)
+            d = ttx[:, self._eq_idx].reshape(fr, -1, 3)  # (F, 3·n_eqs, 3)
+            if self._arc is not None:
+                d = d - self._arc
+            d_flat = d.transpose(1, 0, 2).reshape(-1, fr * 3)
+            rhs = sol._at @ d_flat
+        else:
+            import jax
+
+            front = self._front_fn()
+            c32 = jax.device_put(jnp.asarray(c.astype(np.float32)),
+                                 self._cpu_dev)
+            d_flat = np.asarray(front(c32))      # (3·n_eqs, F·3) f32
+            rhs = (self._at32 @ d_flat).astype(np.float64)
         x = sol._lu.solve(rhs)  # ONE back-substitution, F·3 RHS columns
         out = np.zeros((fr, sol.n_verts, 3))
         out[:, sol.free_ids] = x.reshape(-1, fr, 3).transpose(1, 0, 2)

@@ -388,9 +388,20 @@ class TestServer:
             verts = dec.decode(coefs)
             err = np.abs(verts - verts_ref).max()
             assert err <= atol, (wire, err)
-        # single-frame decode convenience matches the batched call
-        np.testing.assert_array_equal(dec.decode(coefs[0]),
-                                      dec.decode(coefs)[0])
+        # single-frame decode convenience matches the batched call (the
+        # fused XLA front may reassociate across batch shapes — bound it
+        # far under the wire budget rather than bitwise)
+        np.testing.assert_allclose(dec.decode(coefs[0]),
+                                   dec.decode(coefs)[0], atol=1e-6)
+        # the fast front tracks the all-f64 precise path (solve_host
+        # oracle values) to ~1e-7 m — 50× under the i16 wire's LSB/2
+        np.testing.assert_allclose(dec.decode(coefs),
+                                   dec.decode(coefs, precise=True),
+                                   atol=5e-7)
+        # precise single == precise batched row: pure numpy, bitwise
+        np.testing.assert_array_equal(
+            dec.decode(coefs[0], precise=True),
+            dec.decode(coefs, precise=True)[0])
         # the decoder's closed-form Rodrigues == the f64 solve oracle's
         # (elementwise c+x²C… vs I+sK+CK² — identical algebra)
         dg = np.random.default_rng(2).normal(size=(512, 9)) * 0.2
