@@ -12,6 +12,7 @@ speaker_id (N,)) → prediction dict + attention alignments.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -229,7 +230,20 @@ class SpeechDrivenAnimation(nn.Module):
         if speaker_id is not None:
             condition = self.speaker_embedding(speaker_id)
 
-        z_windows = z_frames[frame_idx]                # (W, frames, …)
+        # bf16 BEFORE the gather when the fused 1-pass biLSTM kernel will
+        # consume it: the kernel's first dot rounds its activation operand
+        # to bf16 regardless, so rounding at the (tiny) clip-level table
+        # is value-identical and HALVES the (W, frames, 256) gather
+        # write + kernel read — ~4.6 GB of pure HBM traffic at the
+        # 128-clip serving batch. SDFA_BF16_GATHER=0 opts out.
+        from ..nn.recurrent import _lstm_passes, _pallas_inference_eligible
+
+        z_src = z_frames
+        if (z_frames.dtype == jnp.float32 and _lstm_passes() == 1
+                and os.environ.get("SDFA_BF16_GATHER", "1") == "1"
+                and _pallas_inference_eligible(False, "SDFA_PALLAS_BILSTM")):
+            z_src = z_frames.astype(jnp.bfloat16)
+        z_windows = z_src[frame_idx]                   # (W, frames, …)
         z_windows = jnp.moveaxis(z_windows, 1, taxis)  # batch=W, time at taxis
         z_audio, aligns = self.audio_encoder(
             z_windows, condition=condition, training=False, start=split
