@@ -220,12 +220,49 @@ class LSTM(_RNNBase):
 
     n_gates = 4
 
+    def _use_2layer_fused(self, training: bool, return_params: bool) -> bool:
+        """Whole-stack fusion (ops/pallas_bilstm2.py): both biLSTM layers
+        in one Pallas program, inter-layer stack VMEM-resident. 1-pass
+        inference only (bf16 weights in VMEM); value-identical to the
+        chained per-layer kernels (tests/test_pallas_bilstm2.py).
+        SDFA_PALLAS_BILSTM2=1 opts in (hardware A/B pending — the small
+        row block the VMEM stack forces trades MXU shape for HBM)."""
+        return (self.num_layers == 2 and self.bidirectional
+                and not return_params and not training
+                and self.input_size % 128 == 0 and self.hidden_size % 128 == 0
+                and _lstm_passes() == 1
+                and _os.environ.get("SDFA_PALLAS_BILSTM2", "0") == "1"
+                and _pallas_inference_eligible(training,
+                                               "SDFA_PALLAS_BILSTM"))
+
     @nn.compact
     def __call__(self, x, training: bool = False, return_params: bool = False):
         assert self.batch_first, "only batch_first layout is used"
         out = x
         dirs = 2 if self.bidirectional else 1
         params = {}
+        if self._use_2layer_fused(training, return_params):
+            from ..ops.pallas_bilstm2 import bilstm_2layer_fused
+
+            lw = []
+            for layer in range(2):
+                in_size = self.input_size if layer == 0 else 2 * self.hidden_size
+                dir_p = [self._gate_params(layer, d, in_size)
+                         for d in range(2)]
+                lw.append((
+                    jnp.stack([p[0] for p in dir_p]),
+                    jnp.stack([p[1] for p in dir_p]),
+                    None if dir_p[0][2] is None else jnp.stack(
+                        [p[2][0] + p[2][1] for p in dir_p]),
+                ))
+            stage_last = _os.environ.get("SDFA_LSTM_STAGE_BF16_LAST",
+                                         "1") == "1"
+            return bilstm_2layer_fused(
+                out, lw[0][0], lw[0][1], lw[0][2],
+                lw[1][0], lw[1][1], lw[1][2],
+                block_rows=int(_os.environ.get("SDFA_BILSTM2_BLOCK", "96")),
+                interpret=_FREQ_FUSED_INTERPRET,
+                out_dtype=jnp.bfloat16 if stage_last else jnp.float32)
         for layer in range(self.num_layers):
             in_size = self.input_size if layer == 0 else self.hidden_size * dirs
             # NOTE: a fused both-directions-in-one-scan variant (batched
