@@ -334,6 +334,11 @@ class LSTM(_RNNBase):
                                        "1") == "1"))
                 out = bilstm_layer_fused(
                     out, w_ih2, w_hh2, gb2,
+                    # r5 probe (artifacts/suffix_probe_r5/): per-step
+                    # fixed overhead ≈ 2× the matmul time at blk=256 —
+                    # bigger row blocks amortize it (VMEM-bounded)
+                    block_rows=int(_os.environ.get("SDFA_BILSTM_BLOCK",
+                                                   "256")),
                     interpret=_FREQ_FUSED_INTERPRET,
                     precise=_lstm_passes(),
                     out_dtype=jnp.bfloat16 if stage_bf16 else None)

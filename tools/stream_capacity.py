@@ -185,17 +185,27 @@ def main():
         dec = CoefDecoder(task)
         batch = np.random.default_rng(0).normal(
             size=(args.emit_batch, dec.n_coefs)).astype(np.float32) * 0.01
-        dec.decode(batch)  # warm numpy/scipy paths
+        dec.decode(batch)  # warm jitted front + scipy paths
         t0 = time.perf_counter()
         reps = 4
         for _ in range(reps):
             dec.decode(batch)
         ms = (time.perf_counter() - t0) / (reps * len(batch)) * 1e3
+        dec.decode(batch, precise=True)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            dec.decode(batch, precise=True)
+        ms_precise = (time.perf_counter() - t0) / (reps * len(batch)) * 1e3
         fps = float(task._wspec().fps)
         results["client_decode"] = {
+            # fast = fused XLA:CPU front + f64 LU (~1e-7 m vs precise);
+            # x_realtime_per_core is the per-CLIENT-core consumption
+            # bound: one core decodes this many realtime streams
             "ms_per_frame": round(ms, 3),
             "x_realtime_per_core": round(1e3 / (ms * fps), 2),
+            "ms_per_frame_precise_f64": round(ms_precise, 3),
             "emit_batch": args.emit_batch,
+            "host_cores": os.cpu_count(),
         }
         print(json.dumps({"client_decode": results["client_decode"]}),
               flush=True)
