@@ -97,16 +97,22 @@ def main():
               "tflops": round(flops / dt / 1e12, 1),
               "pct_peak_bf16": round(100 * flops / dt / 1e12 / 197, 1)})
 
+    # Ordered by decision value per ~40 min compile: the blk 256-vs-512
+    # ranking decides the serving default (input dtype shifts HBM traffic
+    # only, ~3 ms of ~78 — f32@256 from part 1 ranks against bf16@512);
+    # fused2_blk96 is the wavefront-fusion A/B verdict row.
     plan = [
+        ("L1bf16_blk512", lambda: layer_probe("L1bf16_blk512", 256,
+                                              jnp.bfloat16, 512)),
         ("L2_blk512", lambda: layer_probe("L2_blk512", 512, jnp.bfloat16, 512)),
         ("fused2_blk96", lambda: fused2_probe("fused2_blk96",
                                               jnp.bfloat16, 96)),
-        ("L1bf16_blk512", lambda: layer_probe("L1bf16_blk512", 256,
-                                              jnp.bfloat16, 512)),
-        ("L2_blk1024", lambda: layer_probe("L2_blk1024", 512,
-                                           jnp.bfloat16, 1024)),
+        ("L2_blk256", lambda: layer_probe("L2_blk256", 512,
+                                          jnp.bfloat16, 256)),
         ("L1bf16_blk256", lambda: layer_probe("L1bf16_blk256", 256,
                                               jnp.bfloat16, 256)),
+        ("L2_blk1024", lambda: layer_probe("L2_blk1024", 512,
+                                           jnp.bfloat16, 1024)),
     ]
     for name, fn in plan:
         if time.time() - T0 > BUDGET:
