@@ -69,7 +69,17 @@ def main():
     parser.add_argument("--template_mesh", type=str, default=None)
     parser.add_argument("--mesh_constraints", type=str, default=None)
     parser.add_argument("--mesh_tricorres", type=str, default=None)
+    parser.add_argument("--platform", choices=["tpu", "cpu"], default=None,
+                        help="force the JAX backend; needed because some "
+                        "images pin jax_platforms at import so the "
+                        "JAX_PLATFORMS env var alone is ignored")
     args = parser.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms",
+                          "cpu" if args.platform == "cpu" else "axon,cpu")
 
     overrides = json.loads(args.overrides) if args.overrides else None
     if args.tag:

@@ -462,6 +462,10 @@ class FreqLstm(nn.Module):
             w_proj, b_proj = proj(None, return_params=True)
             out = freq_lstm_fused(
                 x, w_ih, w_hh, gb, w_proj, b_proj,
+                # same per-step-overhead lever as SDFA_BILSTM_BLOCK
+                # (DESIGN §13.2); default matches the kernel's (HLO-
+                # identical, compile-cache-safe)
+                block_rows=int(_os.environ.get("SDFA_FREQ_BLOCK", "512")),
                 interpret=_FREQ_FUSED_INTERPRET,
                 precise=_lstm_passes(),
             ).reshape(bsz, t, self.output_size)

@@ -107,10 +107,25 @@ def _train_one_step(dataset_root: str, global_batch: int):
     batch = mh.global_batch_from_local(mesh, batch)
 
     step_fn = make_train_step(model, hp, tx, donate=False)
-    new_state, metrics = step_fn(
-        state, batch, jax.random.PRNGKey(1),
-        jnp.asarray(1e-4), jnp.asarray(0.9),
-    )
+    step_args = (state, batch, jax.random.PRNGKey(1),
+                 jnp.asarray(1e-4), jnp.asarray(0.9))
+    if jax.process_count() > 1:
+        # gloo's cross-process context init times out 30 s after the FIRST
+        # process reaches the first collective — but each process pays its
+        # own multi-minute XLA compile first, and on a loaded host the
+        # compile skew alone can exceed 30 s (observed: the r5 dryrun's
+        # 2-process leg failing under a concurrent pytest run). Compile
+        # ahead of time, then rendezvous at a coordination-service barrier
+        # (pure RPC, own long timeout), so every process enters the gloo
+        # exchange together.
+        compiled = step_fn.lower(*step_args).compile()
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(
+            "sdfa_multiproc_precollective", timeout_in_ms=900_000)
+        new_state, metrics = compiled(*step_args)
+    else:
+        new_state, metrics = step_fn(*step_args)
     jax.block_until_ready(new_state.params)
     return float(jax.device_get(metrics["total"]))
 
