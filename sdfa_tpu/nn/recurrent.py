@@ -225,13 +225,19 @@ class LSTM(_RNNBase):
         in one Pallas program, inter-layer stack VMEM-resident. 1-pass
         inference only (bf16 weights in VMEM); value-identical to the
         chained per-layer kernels (tests/test_pallas_bilstm2.py).
-        SDFA_PALLAS_BILSTM2=1 opts in (hardware A/B pending — the small
-        row block the VMEM stack forces trades MXU shape for HBM)."""
+
+        DEFAULT ON since round 5's hardware A/B (DESIGN §13.5): speed-
+        neutral in the serving pipeline (1758.34× vs 1753.31× at 128
+        clips) but it deletes the two (T, rows, 2H) inter-layer HBM
+        stacks — 8.62 GB each at 256 clips — which erases the round-4
+        256-clip batch cliff (1565.8× → 1758.51×,
+        artifacts/batch_scaling_r5/). SDFA_PALLAS_BILSTM2=0 restores
+        the chained per-layer kernels."""
         return (self.num_layers == 2 and self.bidirectional
                 and not return_params and not training
                 and self.input_size % 128 == 0 and self.hidden_size % 128 == 0
                 and _lstm_passes() == 1
-                and _os.environ.get("SDFA_PALLAS_BILSTM2", "0") == "1"
+                and _os.environ.get("SDFA_PALLAS_BILSTM2", "1") == "1"
                 and _pallas_inference_eligible(training,
                                                "SDFA_PALLAS_BILSTM"))
 
@@ -260,7 +266,9 @@ class LSTM(_RNNBase):
             return bilstm_2layer_fused(
                 out, lw[0][0], lw[0][1], lw[0][2],
                 lw[1][0], lw[1][1], lw[1][2],
-                block_rows=int(_os.environ.get("SDFA_BILSTM2_BLOCK", "96")),
+                # blk 192 = the sweep optimum (§13.5: 96/128/160/192 →
+                # 116.0/115.8/124.1/111.9 ms; 256 exceeds VMEM)
+                block_rows=int(_os.environ.get("SDFA_BILSTM2_BLOCK", "192")),
                 interpret=_FREQ_FUSED_INTERPRET,
                 out_dtype=jnp.bfloat16 if stage_last else jnp.float32)
         for layer in range(self.num_layers):
