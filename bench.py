@@ -461,9 +461,11 @@ def main():
     # one group (= the whole serving batch) measured fastest: 32 clips
     # 307×@chunk8 → 510×@chunk32; 64 clips → 630×@chunk64; 128 clips →
     # 1647× (round 4 — the delta-reference fused solve removed the temps
-    # that capped round 3 at 64). 256 clips OOMs at compile: the fused
-    # biLSTM's two inter-layer (64, 70656, 512) stacks are 8.62 GB each
-    # (artifacts/batch_scaling_r4/). Set BENCH_CHUNK to bound peak memory.
+    # that capped round 3 at 64). Round 5: the default fused 2-layer
+    # biLSTM keeps the inter-layer stack in VMEM, so the two 8.62 GB
+    # HBM stacks that throttled 256 clips are gone — 256 measures the
+    # same as 128 (1758.51 vs 1758.34; artifacts/batch_scaling_r5/).
+    # Set BENCH_CHUNK to bound peak memory.
     chunk = int(os.environ.get("BENCH_CHUNK", 0)) or n_clips
     while n_clips % chunk:
         chunk -= 1

@@ -266,9 +266,15 @@ class LSTM(_RNNBase):
             return bilstm_2layer_fused(
                 out, lw[0][0], lw[0][1], lw[0][2],
                 lw[1][0], lw[1][1], lw[1][2],
-                # blk 192 = the sweep optimum (§13.5: 96/128/160/192 →
-                # 116.0/115.8/124.1/111.9 ms; 256 exceeds VMEM)
-                block_rows=int(_os.environ.get("SDFA_BILSTM2_BLOCK", "192")),
+                # blk 128, NOT the sweep's fastest point (192, §13.5:
+                # 96/128/160/192 → 116.0/115.8/124.1/111.9 ms): blk 192's
+                # VMEM footprint (12.58 M stack + 5.24 M bf16 weights =
+                # 17.8 M) sits ABOVE the 16 M scoped-vmem limit and only
+                # compiled when the tunnel helper took its permissive
+                # path — the strict AOT path rejects it (observed on the
+                # r5 streaming-capacity compile). blk 128 (13.6 M) fits
+                # the limit everywhere at a ~0.3% in-pipeline cost.
+                block_rows=int(_os.environ.get("SDFA_BILSTM2_BLOCK", "128")),
                 interpret=_FREQ_FUSED_INTERPRET,
                 out_dtype=jnp.bfloat16 if stage_last else jnp.float32)
         for layer in range(self.num_layers):
