@@ -267,6 +267,17 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
     t0 = time.perf_counter()
     _ = task.generate_vertices(signal, 0, wire="i16")
     fused_i16_s = time.perf_counter() - t0
+    # int8-delta wire: halves i16 again (frame 0 absolute i16 + clamped
+    # int8 deltas, err <= 2e-5 m) — the link-bound single-clip optimum
+    fused_i8d_s = None
+    try:
+        _ = task.generate_vertices(signal, 0, wire="i8d")  # compile
+        t0 = time.perf_counter()
+        _ = task.generate_vertices(signal, 0, wire="i8d")
+        fused_i8d_s = time.perf_counter() - t0
+    except Exception as e:
+        print(f"[bench] i8d single-clip skipped: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
     # coef wire: download (W, 265) coefficients (~56x fewer bytes than
     # i16) + host CoefDecoder reconstruction (f64 solve oracle) — the
     # latency-oriented single-clip path (VERDICT r4 #5)
@@ -315,6 +326,9 @@ def _realism(pipeline, consts, dsc, starts, seconds, n_clips) -> dict:
         # tunnel RTT + vertex download (warm = compiled); informational
         "serving_clip_x_realtime": round(len(signal) / sr / fused_warm_s, 2),
         "serving_clip_x_realtime_i16": round(len(signal) / sr / fused_i16_s, 2),
+        **({"serving_clip_x_realtime_i8d":
+            round(len(signal) / sr / fused_i8d_s, 2)}
+           if fused_i8d_s else {}),
         **({"serving_clip_x_realtime_coef":
             round(len(signal) / sr / fused_coef_s, 2)}
            if fused_coef_s else {}),

@@ -309,6 +309,12 @@ class AnimationTask:
         of link-bound serving (DESIGN.md §12.3); error ≤ 5e-6 m. Returned
         dtype is float32 metres either way.
 
+        ``wire="i8d"`` downloads int8 inter-frame DELTAS (the
+        StreamingServer's lowest-byte format flattened to one clip:
+        frame 0 absolute as int16 in LSB8 units, then clamped deltas;
+        drift-free, error ≤ 2e-5 m) — halves the i16 download again for
+        link-bound hosts.
+
         ``wire="coef"`` downloads only the (W, 265) PCA coefficients (~56×
         fewer bytes than i16) and reconstructs meshes on the host with
         ``streaming.CoefDecoder`` — the float64 solve oracle, so accuracy
@@ -321,7 +327,7 @@ class AnimationTask:
         asserted equal in tests/test_task.py)."""
         from .viewer import frame as frame_mod
 
-        if wire not in ("f32", "i16", "coef"):
+        if wire not in ("f32", "i16", "i8d", "coef"):
             raise ValueError(f"unknown wire format {wire!r}")
         if wire == "coef" and not (
                 self.hp.model.face_data_type == "dgrad_3d"
@@ -344,13 +350,34 @@ class AnimationTask:
         frame_idx, ts_list, z_frames, _ = self._overlap_prefix(signal)
         fn, consts = self._get_verts_fn(wire)
         chunks = []
+        carry = None  # i8d: device-resident inter-chunk carry (V3,) i32
+        q0_host = None
         for chunk, keep in self._window_chunks(frame_idx):
             spk = jnp.full((len(chunk),), speaker, jnp.int32)
+            if wire == "i8d":
+                first = carry is None
+                if first:
+                    carry = self._i8d_zero_carry()
+                ds, q0, carry = fn(self.variables, consts, z_frames,
+                                   jnp.asarray(chunk), spk, carry,
+                                   jnp.asarray(first))
+                if first:
+                    q0_host = np.asarray(q0).astype(np.int32)  # 30 KB once
+                chunks.append(np.asarray(ds[:keep]).astype(np.int32))
+                continue
             flat = fn(self.variables, consts, z_frames, jnp.asarray(chunk), spk)
             host = np.asarray(flat[:keep])
             if wire == "i16":
                 host = host.astype(np.float32) * WIRE_LSB
             chunks.append(host)
+        if wire == "i8d":
+            # host mirror of the device integer recurrence (drift-free —
+            # the transmitted CLAMPED deltas are what both sides add):
+            # row 0's delta is 0 by construction, so the cumsum lands on
+            # q0 exactly
+            qs = q0_host[None] + np.cumsum(np.concatenate(chunks), axis=0)
+            verts = (qs.astype(np.float32) * WIRE_LSB8)
+            return ts_list, verts.reshape(len(frame_idx), -1, 3)
         if wire == "coef":
             coefs = np.concatenate(chunks)  # (W, K) — tiny download
             verts = self._coef_decoder().decode(coefs)
@@ -437,10 +464,45 @@ class AnimationTask:
                     q = jnp.round(flat * (1.0 / WIRE_LSB))
                     return jnp.clip(q, -32767, 32767).astype(jnp.int16)
 
+            elif wire == "i8d":
+                # single-clip int8-delta wire: the streaming recurrence
+                # (_get_verts_fn_i8d) flattened to one "slot" whose rows
+                # are the clip's consecutive frames. Frame 0 crosses as
+                # an ABSOLUTE int16 in LSB8 units (30 KB, once) instead
+                # of delta-from-template: an arbitrary clip's first frame
+                # can sit > 127·LSB8 ≈ 5 mm from the template, and an
+                # offline API shouldn't spend frames self-correcting.
+                # carry stays device-resident between window chunks;
+                # drift-free for the same reason as streaming (both sides
+                # add the transmitted CLAMPED deltas). Error ≤ LSB8/2 =
+                # 2e-5 m; download = W·V3 int8 ≈ half of i16.
+
+                def fn(variables, consts, z_frames, frame_idx, spk,
+                       carry, is_first):
+                    flat = base(variables, consts, z_frames, frame_idx, spk)
+                    q = jnp.round(flat * (1.0 / WIRE_LSB8)).astype(jnp.int32)
+                    carry0 = jnp.where(is_first, q[0], carry)
+
+                    def step(c, q_t):
+                        d = jnp.clip(q_t - c, -127, 127).astype(jnp.int8)
+                        return c + d.astype(jnp.int32), d
+
+                    new_carry, ds = jax.lax.scan(step, carry0, q)
+                    # |q0| ≤ 0.33 m / LSB8 ≈ 8192 < 32767 — int16 is exact
+                    return ds, q[0].astype(jnp.int16), new_carry
+
             else:
                 raise ValueError(f"unknown wire format {wire!r}")
             self._verts_jit[wire] = (jax.jit(fn), consts)
         return self._verts_jit[wire]
+
+    def _i8d_zero_carry(self):
+        """Shape-only initial carry for the single-clip i8d wire (the
+        first call overwrites it with frame 0's quantization)."""
+        from .viewer import frame as frame_mod
+
+        v3 = int(np.asarray(frame_mod.template()[0]).size)
+        return jnp.zeros((v3,), jnp.int32)
 
     def _get_verts_fn_i8d(self, n_slots: int, emit_batch: int):
         """(jitted fn, consts, template_q) for the int8 DELTA vertex wire —

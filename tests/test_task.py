@@ -221,6 +221,37 @@ class TestGenerateVertices:
         assert verts_q.dtype == np.float32
         assert np.abs(verts_q - verts_f).max() <= WIRE_LSB / 2 + 1e-7
 
+    def test_i8d_wire_matches_f32_across_chunks(self, shipped_task,
+                                                monkeypatch):
+        """generate_vertices(wire='i8d'): frame 0 absolute int16 (LSB8
+        units) + clamped int8 deltas, carry device-resident across window
+        chunks. Forcing a tiny SDFA_MAX_WINDOW_BATCH exercises the
+        inter-chunk carry; bound = WIRE_LSB8/2 = 2e-5 m (drift-free)."""
+        from sdfa_tpu.task import WIRE_LSB8, AnimationTask as AT
+
+        hp, task = shipped_task
+        sr = int(hp.audio.sample_rate)
+        t = np.arange(int(1.2 * sr)) / sr
+        sig = (0.3 * np.sin(2 * np.pi * 150 * t)
+               * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        ts_f, verts_f = task.generate_vertices(sig, 0)
+        ts_d, verts_d = task.generate_vertices(sig, 0, wire="i8d")
+        assert ts_f == ts_d
+        assert verts_d.dtype == np.float32
+        assert np.abs(verts_d - verts_f).max() <= WIRE_LSB8 / 2 + 1e-7
+        # multi-chunk: a 5 s clip (W ≈ 300 > the 256 cap → 2 chunks, the
+        # second padded) on a fresh task, exercising the device-resident
+        # inter-chunk carry
+        t5 = np.arange(int(5.0 * sr)) / sr
+        sig5 = (0.3 * np.sin(2 * np.pi * 150 * t5)
+                * (1 + 0.4 * np.sin(2 * np.pi * 3 * t5))).astype(np.float32)
+        monkeypatch.setenv("SDFA_MAX_WINDOW_BATCH", "256")
+        task2 = AT(hp, task.model, task.variables)
+        _, verts_f5 = task2.generate_vertices(sig5, 0)
+        _, verts_d5 = task2.generate_vertices(sig5, 0, wire="i8d")
+        assert len(verts_d5) > 256  # really crossed a chunk boundary
+        assert np.abs(verts_d5 - verts_f5).max() <= WIRE_LSB8 / 2 + 1e-7
+
     def test_coef_wire_matches_f32_and_warmup(self, shipped_task):
         """generate_vertices(wire='coef') downloads only the (W, 265) PCA
         coefficients and reconstructs on the host via CoefDecoder (the f64
