@@ -312,8 +312,13 @@ class AnimationTask:
         ``wire="i8d"`` downloads int8 inter-frame DELTAS (the
         StreamingServer's lowest-byte format flattened to one clip:
         frame 0 absolute as int16 in LSB8 units, then clamped deltas;
-        drift-free, error ≤ 2e-5 m) — halves the i16 download again for
-        link-bound hosts.
+        drift-free, error ≤ 2e-5 m) — halves the i16 download again.
+        Measured caveat (artifacts/bench_r5/): the per-clip delta scan
+        is W sequential tiny device steps, which on the 40 MB/s axon
+        tunnel costs MORE than the 2.3 MB it saves (9.25× vs i16's
+        17.59× on a 3 s clip) — use it only on links well under
+        ~10 MB/s, where the download dominates; at streaming granularity
+        the same recurrence is batched across slots and wins (§12.3).
 
         ``wire="coef"`` downloads only the (W, 265) PCA coefficients (~56×
         fewer bytes than i16) and reconstructs meshes on the host with
