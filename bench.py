@@ -498,18 +498,17 @@ def main():
                          spec=spec, out_layout="3v")
         return verts  # (K·W, 3, V)
 
-    # decode+solve in bounded sub-batches: forward_windows(raw_pca=True)
-    # returns tiny PCA coefficients (265 floats/window); the expansion
-    # to 89,784 floats + the solver's ~15 live (w, n_tris) temps happen
-    # chunk-by-chunk under lax.map, bounding the HBM high-water mark
-    # (96 clips all-at-once = 18.2 GB > 15.75 GB on the ROUND-2 XLA
-    # path). Measured cost of chunking at 64 clips: ~2% (627×
-    # single-batch vs 614× at chunk 3296), so the default only chunks
-    # above the current working set. Round 4: the fused delta solve
-    # shrank the solve temps — 128 clips in one batch is the qualified
-    # optimum (1647×); 256 OOMs on the biLSTM inter-layer stacks, not
-    # the decode (DESIGN.md §12, artifacts/batch_scaling_r4/).
-    dchunk = int(os.environ.get("BENCH_DECODE_CHUNK", 16384))
+    # decode+solve chunking guards the XLA fallback path's HBM
+    # amplification (the 265→89,784 decode + ~15 (w, n_tris) solve
+    # temps; 96 clips all-at-once = 18.2 GB on the ROUND-2 XLA path).
+    # The FUSED kernel needs no outer guard — it streams SDFA_SOLVE_BLK
+    # row blocks internally and never materializes the decode — and the
+    # outer lax.map costs real time (+18 ms = +15% of the decode-solve
+    # stage at 128 clips, artifacts/suffix_probe_r5/decomp.json), so
+    # when dsc is active the default is one whole-batch call.
+    # BENCH_DECODE_CHUNK overrides either way.
+    _dchunk_env = os.environ.get("BENCH_DECODE_CHUNK")
+    dchunk = int(_dchunk_env) if _dchunk_env else 16384  # XLA-path guard
 
     def stage1_fn(variables, signals):
         """Frontend + per-frame encoder prefix → flat multi-clip z table."""
@@ -573,7 +572,11 @@ def main():
                 method=SpeechDrivenAnimation.forward_windows)
             from sdfa_tpu.ops import padded_chunk_map
 
-            return padded_chunk_map(decode_solve, preds, idx_f.shape[0], dchunk)
+            # fused kernel: whole batch in one call (see dchunk comment)
+            eff_chunk = (dchunk if (dsc is None or _dchunk_env)
+                         else max(dchunk, idx_f.shape[0]))
+            return padded_chunk_map(decode_solve, preds, idx_f.shape[0],
+                                    eff_chunk)
 
         out = jax.lax.map(
             suffix_group,
@@ -726,7 +729,8 @@ def main():
             nf = int(dsc.p.shape[2])             # n_free
             dsc_f = rows_w * (2 * 85 * 6 * tp + 2 * 180 * 3 * tp
                               + 9 * 2 * tp * nf)
-            nb = -(-rows_w // 512)               # P re-streams per row block
+            solve_blk = int(os.environ.get("SDFA_SOLVE_BLK", 1024))
+            nb = -(-rows_w // solve_blk)         # P re-streams per row block
             dsc_b = (nb * sum(np.asarray(x).nbytes for x in
                               (dsc.p, dsc.basis_s, dsc.basis_r))
                      + rows_w * 3 * nf * 4)
