@@ -712,8 +712,12 @@ def main():
         rows_w = n_windows                       # suffix biLSTM rows
         # temporal biLSTM: L1 in=256, L2 in=512, both bidirectional
         lstm_f = rows_w * 64 * 2 * 2 * ((256 + H) + (512 + H)) * 4 * H
-        lstm_b = (rows_w * 64 * (256 * 4            # L1 x read (f32)
-                                 + 2 * H * 2 * 2    # inter stack w+r (bf16)
+        # the default fused 2-layer kernel keeps the inter-layer stack
+        # in VMEM — its HBM write+read only exists on the chained path
+        fused2 = os.environ.get("SDFA_PALLAS_BILSTM2", "1") == "1"
+        inter_b = 0 if fused2 else 2 * H * 2 * 2    # stack w+r (bf16)
+        lstm_b = (rows_w * 64 * (256 * 2            # x read (bf16 gather)
+                                 + inter_b
                                  + 2 * H * 2))      # L2 out write (bf16)
         # freq-LSTM: rows = clips × t_total frames, F=32 freq steps,
         # in=64→hidden 128 both dirs + fused output projection to 256
